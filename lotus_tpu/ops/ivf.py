@@ -1,0 +1,213 @@
+"""IVF-Flat index: k-means coarse quantizer + inverted lists in sorted
+(CSR-style) storage, probed with static-shape gather kernels.
+
+Replaces faiss IVF-Flat (BASELINE.md config 4).  Layout: vectors are sorted
+by list id into one contiguous array; each list is a (start, size) window.
+The probe kernel gathers a fixed-width window per (query, probe) — the
+width is the max list size, static at build time — masks the tail, scores
+with one batched matmul, and top-k's the candidate pool.  All shapes are
+static so the whole search jits to a single XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lotus_tpu.ops import io as index_io
+from lotus_tpu.ops.common import MASK_SCORE, NO_HIT, as_distance, round_up
+from lotus_tpu.ops.flat import flat_search
+from lotus_tpu.ops.kmeans import kmeans_fit
+
+# Max points used to train the coarse quantizer (faiss-style subsampling:
+# ~256 samples per centroid).
+TRAIN_POINTS_PER_CENTROID = 256
+
+
+def build_ivf(
+    index_dir: str,
+    emb: np.ndarray,
+    *,
+    nlist: int,
+    metric: str,
+    train_iters: int = 10,
+    seed: int = 0,
+) -> dict[str, Any]:
+    """Train the coarse quantizer, assign, sort, persist. Returns meta patch."""
+    n, d = emb.shape
+    nlist = min(nlist, n)
+    x = jnp.asarray(emb)
+
+    res = kmeans_fit(
+        x,
+        nlist,
+        iters=train_iters,
+        metric="l2",
+        spherical=(metric != "l2"),
+        key=jax.random.PRNGKey(seed),
+        max_points=TRAIN_POINTS_PER_CENTROID * nlist,
+    )
+    centroids = np.asarray(res.centroids, dtype=np.float32)
+
+    # Assign by the index metric so probe-time coarse ranking is consistent.
+    from lotus_tpu.ops.kmeans import kmeans_assign
+
+    assign, _ = kmeans_assign(x, jnp.asarray(centroids), metric=metric)
+    assign = np.asarray(assign)
+
+    order = np.argsort(assign, kind="stable")
+    sorted_vecs = emb[order]
+    row_ids = order.astype(np.int32)
+    list_size = np.bincount(assign, minlength=nlist).astype(np.int32)
+    list_start = np.zeros(nlist, np.int32)
+    list_start[1:] = np.cumsum(list_size)[:-1]
+    max_list = int(list_size.max()) if nlist > 0 else 0
+
+    # Pad storage so start + window never reads out of bounds.
+    window = max(1, round_up(max_list, 8))
+    pad = window
+    sorted_vecs = np.concatenate([sorted_vecs, np.zeros((pad, d), np.float32)])
+    row_ids = np.concatenate([row_ids, np.full(pad, NO_HIT, np.int32)])
+
+    index_io.write_array(index_dir, "ivf_centroids", centroids)
+    index_io.write_array(index_dir, "ivf_vectors", sorted_vecs.astype(np.float32))
+    index_io.write_array(index_dir, "ivf_row_ids", row_ids)
+    index_io.write_array(index_dir, "ivf_list_start", list_start)
+    index_io.write_array(index_dir, "ivf_list_size", list_size)
+    return {"nlist": int(nlist), "max_list_size": max_list, "probe_window": int(window)}
+
+
+def load_ivf_state(index_dir: str, meta: dict[str, Any], dtype: Any) -> dict[str, Any]:
+    return {
+        "centroids": jnp.asarray(index_io.read_array(index_dir, "ivf_centroids", mmap=False)),
+        "ivf_vectors": jnp.asarray(
+            np.asarray(index_io.read_array(index_dir, "ivf_vectors")), dtype=dtype
+        ),
+        "ivf_row_ids": jnp.asarray(index_io.read_array(index_dir, "ivf_row_ids", mmap=False)),
+        "ivf_list_start": jnp.asarray(index_io.read_array(index_dir, "ivf_list_start", mmap=False)),
+        "ivf_list_size": jnp.asarray(index_io.read_array(index_dir, "ivf_list_size", mmap=False)),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "window", "metric", "query_chunk"))
+def _ivf_probe(
+    centroids: jnp.ndarray,
+    xb_sorted: jnp.ndarray,
+    row_ids: jnp.ndarray,
+    list_start: jnp.ndarray,
+    list_size: jnp.ndarray,
+    xq: jnp.ndarray,
+    k: int,
+    nprobe: int,
+    window: int,
+    metric: str,
+    query_chunk: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    b, d = xq.shape
+
+    # Coarse ranking: nearest nprobe centroids per query.
+    _, probe_lists = flat_search(centroids, xq, nprobe, metric=metric)
+
+    if metric == "l2":
+        xb_norms = jnp.sum(jnp.square(xb_sorted.astype(jnp.float32)), axis=-1)
+    else:
+        xb_norms = None
+
+    if xq.dtype == jnp.bfloat16 or xb_sorted.dtype == jnp.bfloat16:
+        compute_dtype, precision = jnp.bfloat16, None
+    else:
+        compute_dtype, precision = jnp.float32, jax.lax.Precision.HIGHEST
+
+    offsets = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0).squeeze(-1)
+
+    def chunk_search(args):
+        xq_c, lists_c = args  # (QC, d), (QC, nprobe)
+        qc = xq_c.shape[0]
+        starts = list_start[lists_c]  # (QC, nprobe)
+        sizes = list_size[lists_c]
+        rows = starts[:, :, None] + offsets[None, None, :]  # (QC, nprobe, W)
+        in_list = offsets[None, None, :] < sizes[:, :, None]
+        rows_flat = rows.reshape(qc, nprobe * window)
+        gathered = xb_sorted[rows_flat]  # (QC, nprobe*W, d)
+        sims = jnp.einsum(
+            "qd,qnd->qn",
+            xq_c.astype(compute_dtype),
+            gathered.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        if metric == "l2":
+            sims = 2.0 * sims - xb_norms[rows_flat]
+        scores = jnp.where(in_list.reshape(qc, nprobe * window), sims, MASK_SCORE)
+        kc = min(k, nprobe * window)
+        top_s, pos = jax.lax.top_k(scores, kc)
+        top_rows = jnp.take_along_axis(rows_flat, pos, axis=1)
+        top_ids = row_ids[top_rows]
+        top_ids = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_ids)
+        if kc < k:
+            padn = k - kc
+            top_s = jnp.concatenate([top_s, jnp.full((qc, padn), MASK_SCORE, top_s.dtype)], axis=1)
+            top_ids = jnp.concatenate([top_ids, jnp.full((qc, padn), NO_HIT, top_ids.dtype)], axis=1)
+        return top_s, top_ids
+
+    if b <= query_chunk:
+        return chunk_search((xq, probe_lists))
+
+    # Pad queries to a chunk multiple, process with lax.map.
+    b_pad = round_up(b, query_chunk)
+    xq_p = jnp.pad(xq, ((0, b_pad - b), (0, 0)))
+    lists_p = jnp.pad(probe_lists, ((0, b_pad - b), (0, 0)))
+    xq_chunks = xq_p.reshape(-1, query_chunk, d)
+    list_chunks = lists_p.reshape(-1, query_chunk, nprobe)
+    top_s, top_ids = jax.lax.map(chunk_search, (xq_chunks, list_chunks))
+    return top_s.reshape(b_pad, k)[:b], top_ids.reshape(b_pad, k)[:b]
+
+
+def ivf_search(
+    state: dict[str, Any],
+    xq: jnp.ndarray,
+    k: int,
+    *,
+    nprobe: int,
+    metric: str,
+    vmem_budget_rows: int = 1 << 21,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Search the IVF index. Returns (distances, original-row indices)."""
+    meta = state["meta"]
+    nlist = int(meta["nlist"])
+    window = int(meta["probe_window"])
+    nprobe = max(1, min(nprobe, nlist))
+
+    # Chunk queries so the gathered candidate slab stays within budget.
+    per_query_rows = nprobe * window
+    query_chunk = max(1, min(1024, vmem_budget_rows // max(per_query_rows, 1)))
+
+    squeeze = xq.ndim == 1
+    if squeeze:
+        xq = xq[None, :]
+    xq = xq.astype(jnp.float32)
+
+    scores, idx = _ivf_probe(
+        state["centroids"],
+        state["ivf_vectors"],
+        state["ivf_row_ids"],
+        state["ivf_list_start"],
+        state["ivf_list_size"],
+        xq,
+        k,
+        nprobe,
+        window,
+        metric,
+        query_chunk,
+    )
+    dists = as_distance(scores, metric)
+    if metric == "l2":
+        q_norms = jnp.sum(jnp.square(xq), axis=-1, keepdims=True)
+        dists = jnp.where(idx == NO_HIT, jnp.finfo(jnp.float32).max, dists + q_norms)
+    if squeeze:
+        return dists[0], idx[0]
+    return dists, idx

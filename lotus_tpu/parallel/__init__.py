@@ -1,0 +1,14 @@
+"""Multi-chip sharding layer: device meshes, sharded search, sharded k-means.
+
+The reference framework has no distributed backend (SURVEY.md §2.10); this
+package is the TPU-native equivalent it needs: index shards as
+NamedSharding-placed arrays over an ICI mesh, per-shard top-k with an
+all-gather merge, and k-means with psum'd centroid statistics
+(BASELINE.md config 5).
+"""
+
+from lotus_tpu.parallel.mesh import default_mesh, shard_rows
+from lotus_tpu.parallel.search import sharded_flat_search
+from lotus_tpu.parallel.kmeans import sharded_kmeans_fit
+
+__all__ = ["default_mesh", "shard_rows", "sharded_flat_search", "sharded_kmeans_fit"]

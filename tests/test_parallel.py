@@ -1,0 +1,75 @@
+"""Sharded search and k-means on an 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lotus_tpu.ops import flat_search, kmeans_fit
+from lotus_tpu.parallel import default_mesh, shard_rows, sharded_flat_search, sharded_kmeans_fit
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "tests expect 8 virtual CPU devices"
+    return default_mesh()
+
+
+@pytest.mark.parametrize("metric", ["ip", "l2"])
+def test_sharded_flat_matches_single_device(mesh, metric):
+    rng = np.random.default_rng(0)
+    n, d, b, k = 1000, 32, 5, 10
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((b, d)).astype(np.float32)
+
+    xb_sharded, n_rows = shard_rows(jnp.asarray(xb), mesh, block_rows=64)
+    dists, idx = sharded_flat_search(
+        xb_sharded, jnp.asarray(xq), k, n_rows=n_rows, metric=metric, mesh=mesh, block_rows=64
+    )
+    ref_d, ref_i = flat_search(jnp.asarray(xb), jnp.asarray(xq), k, metric=metric)
+
+    np.testing.assert_allclose(np.asarray(dists), np.asarray(ref_d), rtol=1e-4, atol=1e-4)
+    assert (np.asarray(idx) == np.asarray(ref_i)).mean() > 0.99
+
+
+def test_sharded_flat_with_subset_mask(mesh):
+    rng = np.random.default_rng(1)
+    n, d, b, k = 600, 16, 3, 5
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xq = rng.standard_normal((b, d)).astype(np.float32)
+    valid = rng.random(n) < 0.4
+
+    xb_sharded, n_rows = shard_rows(jnp.asarray(xb), mesh, block_rows=16)
+    n_pad = xb_sharded.shape[0]
+    valid_pad = np.zeros(n_pad, bool)
+    valid_pad[:n] = valid
+    valid_sharded, _ = shard_rows(jnp.asarray(valid_pad)[:, None], mesh, block_rows=16)
+    valid_sharded = valid_sharded[:, 0]
+
+    dists, idx = sharded_flat_search(
+        xb_sharded, jnp.asarray(xq), k, n_rows=n_rows, mesh=mesh,
+        valid=valid_sharded, block_rows=16,
+    )
+    idx = np.asarray(idx)
+    assert valid[idx[idx >= 0]].all()
+
+    ref_d, ref_i = flat_search(jnp.asarray(xb), jnp.asarray(xq), k, valid=jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(dists), np.asarray(ref_d), rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_kmeans_matches_quality(mesh):
+    rng = np.random.default_rng(2)
+    k, d, n_per = 6, 16, 300
+    centers = rng.standard_normal((k, d)).astype(np.float32) * 3
+    x = np.concatenate([c + 0.05 * rng.standard_normal((n_per, d)).astype(np.float32) for c in centers])
+    labels = np.repeat(np.arange(k), n_per)
+
+    x_sharded, n_rows = shard_rows(jnp.asarray(x), mesh, block_rows=8)
+    res = sharded_kmeans_fit(
+        x_sharded, k, n_rows=n_rows, mesh=mesh, iters=10, key=jax.random.PRNGKey(0), block_rows=128
+    )
+    assign = np.asarray(res.assignments)
+    assert assign.shape == (n_rows,)
+    for c in range(k):
+        _, counts = np.unique(assign[labels == c], return_counts=True)
+        assert counts.max() / counts.sum() > 0.99

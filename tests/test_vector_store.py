@@ -1,0 +1,132 @@
+"""TpuVS end-to-end: build, persist, reload, search, subset search, IVF."""
+
+import numpy as np
+import pytest
+
+from lotus_tpu.vector_store import TpuVS
+
+
+@pytest.fixture
+def data():
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((1200, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:8] + 0.02 * rng.standard_normal((8, 64)).astype(np.float32)
+    return emb, queries
+
+
+def brute_topk(emb, queries, k):
+    scores = queries @ emb.T
+    return np.argsort(-scores, axis=1)[:, :k]
+
+
+def test_flat_build_and_search(tmp_path, data):
+    emb, queries = data
+    vs = TpuVS()
+    vs.index([str(i) for i in range(len(emb))], emb, str(tmp_path / "idx"))
+    out = vs(queries, 10)
+    ref = brute_topk(emb, queries, 10)
+    got = np.asarray(out.indices)
+    assert got.shape == (8, 10)
+    recall = np.mean([len(set(got[i]) & set(ref[i])) / 10 for i in range(8)])
+    assert recall == 1.0
+
+
+def test_flat_reload_from_disk(tmp_path, data):
+    emb, queries = data
+    d = str(tmp_path / "idx")
+    TpuVS().index([], emb, d)
+
+    vs2 = TpuVS()
+    vs2.load_index(d)
+    out = vs2(queries[:2], 5)
+    ref = brute_topk(emb, queries[:2], 5)
+    assert (np.asarray(out.indices) == ref).all()
+
+
+def test_subset_search_masks(tmp_path, data):
+    emb, queries = data
+    vs = TpuVS()
+    vs.index([], emb, str(tmp_path / "idx"))
+    ids = list(range(0, 1200, 7))
+    out = vs(queries, 5, ids=ids)
+    got = np.asarray(out.indices)
+    assert set(got.flatten()) <= set(ids)
+
+    sub = np.asarray(ids)
+    ref_local = brute_topk(emb[sub], queries, 5)
+    assert (got == sub[ref_local]).mean() > 0.99
+
+
+def test_k_exceeds_n_pads_with_minus_one(tmp_path):
+    rng = np.random.default_rng(1)
+    emb = rng.standard_normal((6, 16)).astype(np.float32)
+    vs = TpuVS()
+    vs.index([], emb, str(tmp_path / "small"))
+    out = vs(emb[:2], 10)
+    idx = np.asarray(out.indices)
+    assert idx.shape == (2, 10)
+    assert (idx[:, 6:] == -1).all()
+
+
+def test_get_vectors_from_index(tmp_path, data):
+    emb, _ = data
+    d = str(tmp_path / "idx")
+    vs = TpuVS()
+    vs.index([], emb, d)
+    got = vs.get_vectors_from_index(d, [3, 11, 42])
+    np.testing.assert_allclose(got, emb[[3, 11, 42]], rtol=1e-6)
+
+
+def test_ivf_build_and_recall(tmp_path, data):
+    emb, queries = data
+    vs = TpuVS(index_type="ivf", nlist=16, nprobe=16)
+    vs.index([], emb, str(tmp_path / "ivf"))
+    out = vs(queries, 10)
+    ref = brute_topk(emb, queries, 10)
+    got = np.asarray(out.indices)
+    # nprobe == nlist -> exhaustive -> exact recall
+    recall = np.mean([len(set(got[i]) & set(ref[i])) / 10 for i in range(8)])
+    assert recall == 1.0
+
+
+def test_ivf_partial_probe_recall(tmp_path, data):
+    emb, queries = data
+    vs = TpuVS(index_type="ivf", nlist=16, nprobe=8)
+    vs.index([], emb, str(tmp_path / "ivf"))
+    out = vs(queries, 10)
+    ref = brute_topk(emb, queries, 10)
+    got = np.asarray(out.indices)
+    # Queries are small perturbations of db rows: the source row (true top-1)
+    # must be found; farther neighbours of unstructured random data scatter
+    # across lists, so recall@10 at nprobe=nlist/2 is only loosely bounded
+    # (faiss IVF behaves identically on such data).
+    recall_at_1 = np.mean(got[:, 0] == ref[:, 0])
+    assert recall_at_1 >= 0.9
+    recall = np.mean([len(set(got[i]) & set(ref[i])) / 10 for i in range(8)])
+    assert recall >= 0.5
+
+
+def test_ivf_subset_falls_back_to_flat(tmp_path, data):
+    emb, queries = data
+    vs = TpuVS(index_type="ivf", nlist=16, nprobe=4)
+    vs.index([], emb, str(tmp_path / "ivf"))
+    ids = list(range(100))
+    out = vs(queries, 5, ids=ids)
+    got = np.asarray(out.indices)
+    assert set(got.flatten()) <= set(ids)
+
+
+def test_l2_metric_store(tmp_path):
+    rng = np.random.default_rng(2)
+    emb = rng.standard_normal((300, 32)).astype(np.float32)
+    q = rng.standard_normal((4, 32)).astype(np.float32)
+    vs = TpuVS(metric="l2")
+    vs.index([], emb, str(tmp_path / "l2"))
+    out = vs(q, 5)
+    d2 = ((q[:, None, :] - emb[None, :, :]) ** 2).sum(-1)
+    ref = np.argsort(d2, axis=1)[:, :5]
+    assert (np.asarray(out.indices) == ref).mean() > 0.99
+    np.testing.assert_allclose(
+        np.asarray(out.distances), np.take_along_axis(d2, ref, 1), rtol=1e-3, atol=1e-3
+    )

@@ -1,0 +1,19 @@
+from typing import Union
+
+import pandas as pd
+
+from lotus_tpu.dtype_extensions.image import ImageArray, ImageDtype
+
+pd.api.extensions.register_extension_dtype(ImageDtype)
+
+
+def convert_to_base_data(data: Union[pd.Series, list]) -> list:
+    """Coerce a Series (possibly image-typed) or list to base python values."""
+    if isinstance(data, pd.Series):
+        if isinstance(data.dtype, ImageDtype):
+            return [data.array.get_image(i) for i in range(len(data))]
+        return data.tolist()
+    return data
+
+
+__all__ = ["ImageDtype", "ImageArray", "convert_to_base_data"]

@@ -1,0 +1,206 @@
+"""LLM semantic operators with a deterministic fake transport (offline)."""
+
+import json
+
+import pandas as pd
+import pytest
+
+import lotus_tpu
+from lotus_tpu.models import make_fake_lm
+from lotus_tpu.types import CascadeArgs, ProxyModel
+
+
+@pytest.fixture(autouse=True)
+def reset_settings():
+    yield
+    lotus_tpu.settings.configure(lm=None, helper_lm=None, rm=None, vs=None, enable_cache=False)
+
+
+def test_sem_map_echo():
+    lm = make_fake_lm(responder=lambda prompt, msgs, **kw: "MAPPED")
+    lotus_tpu.settings.configure(lm=lm)
+    df = pd.DataFrame({"text": ["a", "b"]})
+    out = df.sem_map("Summarize {text}")
+    assert out["_map"].tolist() == ["MAPPED", "MAPPED"]
+
+
+def test_sem_map_instruction_contains_column_value():
+    seen = []
+
+    def responder(prompt, msgs, **kw):
+        seen.append(prompt)
+        return "ok"
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    df = pd.DataFrame({"text": ["hello world"]})
+    df.sem_map("Summarize {text}")
+    flat = str(seen[0])
+    assert "hello world" in flat
+
+
+def test_sem_filter_true_false():
+    def responder(prompt, msgs, **kw):
+        return "Answer: True" if "keep" in str(prompt) else "Answer: False"
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    df = pd.DataFrame({"text": ["keep me", "drop me", "keep this too"]})
+    out = df.sem_filter("Should we retain {text}?")
+    assert out["text"].tolist() == ["keep me", "keep this too"]
+
+
+def test_sem_filter_return_all_and_explanations():
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=lambda p, m, **kw: "Answer: True"))
+    df = pd.DataFrame({"text": ["x", "y"]})
+    out = df.sem_filter("{text}?", return_all=True, return_raw_outputs=True)
+    assert "_filter" in out.columns
+    assert out["_filter"].all()
+    assert "raw_output_filter" in out.columns
+
+
+def test_sem_extract_json():
+    def responder(prompt, msgs, **kw):
+        return json.dumps({"sentiment": "positive", "stars": "5"})
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    df = pd.DataFrame({"review": ["great product", "awesome"]})
+    out = df.sem_extract(["review"], {"sentiment": None, "stars": "1-5"})
+    assert out["sentiment"].tolist() == ["positive", "positive"]
+    assert out["stars"].tolist() == ["5", "5"]
+
+
+def test_sem_agg_single_output():
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=lambda p, m, **kw: "SUMMARY"))
+    df = pd.DataFrame({"notes": ["n1", "n2", "n3"]})
+    out = df.sem_agg("Summarize all {notes}")
+    assert out["_output"].tolist() == ["SUMMARY"]
+
+
+def test_sem_agg_hierarchical_fold():
+    calls = []
+
+    def responder(prompt, msgs, **kw):
+        calls.append(str(prompt))
+        return f"LEVEL_SUMMARY_{len(calls)}"
+
+    # Tiny context forces multiple prompts and a second tree level.
+    lm = make_fake_lm(responder=responder, max_ctx_len=700, max_tokens=32)
+    lotus_tpu.settings.configure(lm=lm)
+    df = pd.DataFrame({"notes": [f"long note {i} " + "word " * 120 for i in range(4)]})
+    out = df.sem_agg("Combine {notes}", long_context_strategy=None)
+    assert len(out) == 1
+    assert len(calls) > 1  # hierarchical: more than one LM call happened
+
+
+def test_sem_join_quadratic():
+    def responder(prompt, msgs, **kw):
+        text = str(prompt)
+        return "Answer: True" if ("cat" in text and "animal" in text) or ("rose" in text and "flower" in text) else "Answer: False"
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    left = pd.DataFrame({"word": ["cat", "rose"]})
+    right = pd.DataFrame({"kind": ["animal", "flower"]})
+    out = left.sem_join(right, "{word} is a {kind}")
+    pairs = set(zip(out["word"], out["kind"]))
+    assert pairs == {("cat", "animal"), ("rose", "flower")}
+
+
+def test_sem_topk_naive():
+    def responder(prompt, msgs, **kw):
+        # Prefer the document containing the lexicographically smaller token.
+        text = str(prompt)
+        d1 = text.split("Document 1:")[1].split("Document 2:")[0]
+        d2 = text.split("Document 2:")[1]
+        return "Document 1" if d1 < d2 else "Document 2"
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    df = pd.DataFrame({"name": ["delta", "alpha", "charlie", "bravo"]})
+    out = df.sem_topk("Rank {name} alphabetically", K=2, method="naive")
+    assert out["name"].tolist() == ["alpha", "bravo"]
+
+
+def test_sem_topk_quick():
+    def responder(prompt, msgs, **kw):
+        text = str(prompt)
+        d1 = text.split("Document 1:")[1].split("Document 2:")[0]
+        d2 = text.split("Document 2:")[1]
+        return "Document 1" if d1 < d2 else "Document 2"
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    df = pd.DataFrame({"name": ["delta", "alpha", "charlie", "bravo", "echo"]})
+    out = df.sem_topk("Rank {name} alphabetically", K=2, method="quick")
+    assert out["name"].tolist() == ["alpha", "bravo"]
+
+
+def test_sem_topk_heap():
+    def responder(prompt, msgs, **kw):
+        text = str(prompt)
+        d1 = text.split("Document 1:")[1].split("Document 2:")[0]
+        d2 = text.split("Document 2:")[1]
+        return "Document 1" if d1 < d2 else "Document 2"
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    df = pd.DataFrame({"name": ["delta", "alpha", "charlie"]})
+    out = df.sem_topk("Rank {name} alphabetically", K=1, method="heap")
+    assert out["name"].tolist() == ["alpha"]
+
+
+def test_filter_cascade_helper_lm_routes():
+    # Helper is confident on all rows -> oracle never called.
+    oracle_calls = []
+
+    def oracle(prompt, msgs, **kw):
+        oracle_calls.append(prompt)
+        return "Answer: True"
+
+    def helper(prompt, msgs, **kw):
+        return "Answer: True" if "keep" in str(prompt) else "Answer: False"
+
+    lm = make_fake_lm(responder=oracle)
+    helper_lm = make_fake_lm(
+        responder=helper,
+        positive_prob=lambda p: 0.99 if "keep" in p else 0.01,
+    )
+    lotus_tpu.settings.configure(lm=lm, helper_lm=helper_lm)
+
+    df = pd.DataFrame({"text": ["keep a", "drop b", "keep c", "drop d"] * 5})
+    # Quantile calibration maps scores to their rank: with half the rows at
+    # each extreme, "drop" rows land near 0.5 and "keep" rows at 1.0.
+    args = CascadeArgs(
+        proxy_model=ProxyModel.HELPER_LM,
+        filter_pos_cascade_threshold=0.9,
+        filter_neg_cascade_threshold=0.6,
+    )
+    out, stats = df.sem_filter("Retain {text}?", cascade_args=args, return_stats=True)
+    assert set(out["text"]) == {"keep a", "keep c"}
+    assert stats["filters_resolved_by_large_model"] == 0
+    assert not oracle_calls
+
+
+def test_operator_cache_hits():
+    calls = []
+
+    def responder(prompt, msgs, **kw):
+        calls.append(prompt)
+        return "Answer: True"
+
+    lm = make_fake_lm(responder=responder)
+    lotus_tpu.settings.configure(lm=lm, enable_cache=True)
+    df = pd.DataFrame({"text": ["a", "b"]})
+    df.sem_filter("{text}?")
+    n_after_first = len(calls)
+    df.sem_filter("{text}?")
+    assert len(calls) == n_after_first  # second run served from operator cache
+    assert lm.stats.operator_cache_hits == 1
+
+
+def test_usage_limit_enforced():
+    from lotus_tpu.types import LotusUsageLimitException, UsageLimit
+
+    lm = make_fake_lm(
+        responder=lambda p, m, **kw: "x" * 4000,
+        virtual_usage_limit=UsageLimit(total_tokens_limit=100),
+    )
+    lotus_tpu.settings.configure(lm=lm)
+    df = pd.DataFrame({"text": ["a"] * 3})
+    with pytest.raises(LotusUsageLimitException):
+        df.sem_map("{text}")

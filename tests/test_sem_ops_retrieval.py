@@ -1,0 +1,99 @@
+"""Retrieval semantic operators end-to-end with HashRM + TpuVS (offline)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import lotus_tpu
+from lotus_tpu.models import HashRM
+from lotus_tpu.vector_store import TpuVS
+
+
+@pytest.fixture(autouse=True)
+def configure(tmp_path):
+    lotus_tpu.settings.configure(rm=HashRM(dim=48), vs=TpuVS(), lm=None, enable_cache=False)
+    yield
+    lotus_tpu.settings.configure(rm=None, vs=None)
+
+
+@pytest.fixture
+def df(tmp_path):
+    df = pd.DataFrame(
+        {
+            "title": [
+                "Machine learning tutorial",
+                "Deep learning with neural networks",
+                "Cooking pasta at home",
+                "Best pasta recipes",
+                "Quantum computing basics",
+                "Intro to machine learning",
+            ]
+        }
+    )
+    return df.sem_index("title", str(tmp_path / "title_idx"))
+
+
+def test_sem_index_records_dir(df):
+    assert "title" in df.attrs["index_dirs"]
+
+
+def test_sem_search_returns_relevant(df):
+    out = df.sem_search("title", "machine learning", K=2)
+    assert len(out) == 2
+    assert all("learning" in t.lower() for t in out["title"])
+
+
+def test_sem_search_respects_filtered_df(df):
+    sub = df[df.index >= 2]  # drop the two ML docs at positions 0-1
+    out = sub.sem_search("title", "machine learning", K=2)
+    assert len(out) == 2
+    assert set(out.index) <= set(sub.index)
+
+
+def test_sem_search_with_scores(df):
+    out = df.sem_search("title", "pasta recipes", K=3, return_scores=True)
+    scores = out["vec_scores_sim_score"].to_numpy()
+    assert (np.diff(scores) <= 1e-6).all()  # descending
+
+
+def test_load_sem_index_resumes(df, tmp_path):
+    fresh = pd.DataFrame({"title": df["title"]})
+    fresh = fresh.load_sem_index("title", str(tmp_path / "title_idx"))
+    out = fresh.sem_search("title", "quantum computing", K=1)
+    assert out["title"].iloc[0] == "Quantum computing basics"
+
+
+def test_sem_sim_join(df, tmp_path):
+    left = pd.DataFrame({"query": ["pasta dishes", "neural nets"]})
+    joined = left.sem_sim_join(df, left_on="query", right_on="title", K=2)
+    assert len(joined) == 4
+    assert "_scores" in joined.columns
+    pasta_matches = joined[joined["query"] == "pasta dishes"]["title"].tolist()
+    assert any("pasta" in t.lower() for t in pasta_matches)
+
+
+def test_sem_cluster_by(df):
+    out = df.sem_cluster_by("title", 2, niter=10)
+    assert "cluster_id" in out.columns
+    assert out["cluster_id"].nunique() == 2
+
+
+def test_sem_dedup(tmp_path):
+    df = pd.DataFrame(
+        {
+            "text": [
+                "the quick brown fox jumps",
+                "the quick brown fox jumps!",
+                "a completely different sentence about databases",
+                "the quick brown fox jumped",
+            ]
+        }
+    ).sem_index("text", str(tmp_path / "dedup_idx"))
+    out = df.sem_dedup("text", threshold=0.85)
+    assert len(out) < 4
+    assert "a completely different sentence about databases" in out["text"].tolist()
+
+
+def test_sem_partition_by(df):
+    out = df.sem_partition_by(lotus_tpu.utils.cluster("title", 2))
+    assert "_lotus_partition_id" in out.columns

@@ -32,6 +32,8 @@ from lotus_tpu.sem_ops import (  # noqa: E402
     sem_sim_join,
     sem_topk,
 )
+from lotus_tpu.ast import LazyFrame  # noqa: E402
+from lotus_tpu.evals import llm_as_judge, pairwise_judge  # noqa: E402
 from lotus_tpu.settings import settings  # noqa: E402
 
 __all__ = [
@@ -56,4 +58,8 @@ __all__ = [
     "vector_store",
     "utils",
     "dtype_extensions",
+    "llm_as_judge",
+    "pairwise_judge",
+    "LazyFrame",
+    "ast",
 ]

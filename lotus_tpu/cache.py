@@ -149,6 +149,14 @@ class InMemoryCache(Cache):
             if max_size is not None:
                 self.max_size = max_size
 
+    # Picklable (LazyFrame.save reaches the default cache through source
+    # refs): drop the lock and the volatile contents.
+    def __getstate__(self) -> dict:
+        return {"max_size": self.max_size}
+
+    def __setstate__(self, state: dict) -> None:
+        self.__init__(max_size=state.get("max_size", 1024))
+
 
 class SQLiteCache(Cache):
     """SQLite-backed cache with per-thread connections and last-access LRU

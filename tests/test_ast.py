@@ -1,0 +1,166 @@
+"""LazyFrame AST: building, execution, caching, optimizers, persistence."""
+
+import pandas as pd
+import pytest
+
+import lotus_tpu
+from lotus_tpu.ast import CascadeOptimizer, LazyFrame, PredicatePushdownOptimizer
+from lotus_tpu.ast.nodes import PandasFilterNode, SemFilterNode, SemMapNode
+from lotus_tpu.models import HashRM, make_fake_lm
+from lotus_tpu.vector_store import TpuVS
+
+
+@pytest.fixture(autouse=True)
+def reset_settings():
+    yield
+    lotus_tpu.settings.configure(lm=None, helper_lm=None, rm=None, vs=None, enable_cache=False)
+
+
+def make_lm(responder=None):
+    return make_fake_lm(responder=responder or (lambda p, m, **kw: "Answer: True"))
+
+
+def test_lazyframe_builds_nodes():
+    lf = LazyFrame().sem_filter("{text} ok").sem_map("summarize {text}")
+    assert len(lf) == 3  # source + 2 ops
+    assert isinstance(lf._nodes[1], SemFilterNode)
+    assert isinstance(lf._nodes[2], SemMapNode)
+
+
+def test_lazyframe_execute():
+    lotus_tpu.settings.configure(lm=make_lm(lambda p, m, **kw: "Answer: True" if "keep" in str(p) else "Answer: False"))
+    df = pd.DataFrame({"text": ["keep a", "drop b"]})
+    lf = LazyFrame().sem_filter("retain {text}")
+    out = lf.execute(df)
+    assert out["text"].tolist() == ["keep a"]
+
+
+def test_lazyframe_pandas_passthrough():
+    lotus_tpu.settings.configure(lm=make_lm())
+    df = pd.DataFrame({"x": [3, 1, 2]})
+    lf = LazyFrame().sort_values("x").head(2)
+    out = lf.execute(df)
+    assert out["x"].tolist() == [1, 2]
+
+
+def test_lazyframe_getitem_and_filter():
+    df = pd.DataFrame({"x": [1, 2, 3], "y": ["a", "b", "c"]})
+    lf = LazyFrame()[lambda d: d["x"] > 1][["y"]]
+    out = lf.execute(df)
+    assert out["y"].tolist() == ["b", "c"]
+    assert list(out.columns) == ["y"]
+
+
+def test_run_cache_hits():
+    lotus_tpu.settings.configure(lm=make_lm())
+    df = pd.DataFrame({"x": [1, 2]})
+    lf = LazyFrame().sort_values("x")
+    run = lf.run(df)
+    run.execute()
+    assert run.cache_stats["misses"] > 0
+    run2 = lf.run(df, cache=run._content_cache)
+    run2.execute()
+    assert run2.cache_stats["hits"] >= 2  # source + op both cached
+
+
+def test_predicate_pushdown_reorders():
+    lf = (
+        LazyFrame()
+        .sem_filter("{text} relevant")
+        .filter(lambda d: d["x"] > 0)
+    )
+    optimized = lf.optimize()
+    kinds = [type(n).__name__ for n in optimized._nodes]
+    assert kinds.index("PandasFilterNode") < kinds.index("SemFilterNode")
+
+
+def test_save_load_roundtrip(tmp_path):
+    lf = LazyFrame().sem_filter("{text} ok").head(3)
+    path = tmp_path / "pipeline.pkl"
+    lf.save(path)
+    loaded = LazyFrame.load(path)
+    assert len(loaded) == len(lf)
+    assert isinstance(loaded._nodes[1], SemFilterNode)
+
+
+def test_show_tree():
+    lf = LazyFrame().sem_filter("{text} ok").sem_map("summ {text}")
+    tree = lf.show()
+    assert "sem_filter" in tree and "sem_map" in tree and "Source" in tree
+
+
+def test_join_with_nested_lazyframe():
+    def responder(p, m, **kw):
+        text = str(p)
+        return "Answer: True" if ("cat" in text and "animal" in text) else "Answer: False"
+
+    lotus_tpu.settings.configure(lm=make_lm(responder))
+    left = pd.DataFrame({"word": ["cat", "rock"]})
+    right = pd.DataFrame({"kind": ["animal", "mineral"]})
+
+    right_lf = LazyFrame(df=right)
+    lf = LazyFrame().sem_join(right_lf, "{word} is a {kind}")
+    out = lf.execute(left)
+    assert set(zip(out["word"], out["kind"])) == {("cat", "animal")}
+
+
+def test_concat_and_from_fn():
+    df = pd.DataFrame({"x": [1]})
+    lf1 = LazyFrame(df=pd.DataFrame({"x": [1]}))
+    lf2 = LazyFrame(df=pd.DataFrame({"x": [2]}))
+    lf = LazyFrame.concat([lf1, lf2], ignore_index=True)
+    out = lf.execute({})
+    assert out["x"].tolist() == [1, 2]
+
+
+def test_mark_optimizable_validates():
+    lf = LazyFrame().sem_filter("{text} ok")
+    lf2 = lf.mark_optimizable(1, ["user_instruction"])
+    assert lf2._nodes[1].optimizable_params == frozenset({"user_instruction"})
+    with pytest.raises(ValueError):
+        lf.mark_optimizable(1, ["nonexistent_param"])
+
+
+def test_copy_preserves_source_refs():
+    df = pd.DataFrame({"x": [1]})
+    lf = LazyFrame().sort_values("x")
+    copied = lf.copy()
+    assert copied._nodes[0].lazyframe_ref is lf._nodes[0].lazyframe_ref
+    out = copied.execute(df)
+    assert out["x"].tolist() == [1]
+
+
+def test_retrieval_pipeline_through_ast(tmp_path):
+    lotus_tpu.settings.configure(rm=HashRM(dim=32), vs=TpuVS(), lm=make_lm())
+    df = pd.DataFrame({"title": ["machine learning", "cooking pasta", "deep learning"]})
+    lf = (
+        LazyFrame()
+        .sem_index("title", str(tmp_path / "idx"))
+        .sem_search("title", "learning algorithms", K=2)
+    )
+    out = lf.execute(df)
+    assert len(out) == 2
+    assert all("learning" in t for t in out["title"])
+
+
+def test_cascade_optimizer_prewarms_thresholds():
+    from lotus_tpu.types import CascadeArgs, ProxyModel
+
+    helper_lm = make_fake_lm(
+        responder=lambda p, m, **kw: "Answer: True" if "keep" in str(p) else "Answer: False",
+        positive_prob=lambda p: 0.99 if "keep" in p else 0.01,
+    )
+    lotus_tpu.settings.configure(
+        lm=make_lm(lambda p, m, **kw: "Answer: True" if "keep" in str(p) else "Answer: False"),
+        helper_lm=helper_lm,
+    )
+    df = pd.DataFrame({"text": (["keep x", "drop y"] * 30)})
+    args = CascadeArgs(proxy_model=ProxyModel.HELPER_LM, sampling_percentage=0.3,
+                       cascade_IS_random_seed=0)
+    lf = LazyFrame().sem_filter("retain {text}", cascade_args=args)
+
+    node = lf._nodes[1]
+    assert node.cascade_args.filter_pos_cascade_threshold is None
+    optimized = lf.optimize([CascadeOptimizer()], train_data=df)
+    # The node self-updated with learned thresholds during the pre-warm run.
+    assert lf._nodes[1].cascade_args.filter_pos_cascade_threshold is not None

@@ -33,7 +33,9 @@ from lotus_tpu.sem_ops import (  # noqa: E402
     sem_topk,
 )
 from lotus_tpu.ast import LazyFrame  # noqa: E402
+from lotus_tpu.corpus import Corpus, Unit  # noqa: E402
 from lotus_tpu.evals import llm_as_judge, pairwise_judge  # noqa: E402
+from lotus_tpu.web_search import WebSearchCorpus, web_extract, web_search  # noqa: E402
 from lotus_tpu.settings import settings  # noqa: E402
 
 __all__ = [
@@ -62,4 +64,9 @@ __all__ = [
     "pairwise_judge",
     "LazyFrame",
     "ast",
+    "Corpus",
+    "Unit",
+    "web_search",
+    "web_extract",
+    "WebSearchCorpus",
 ]

@@ -1,0 +1,39 @@
+"""k-means + dedup benchmark (BASELINE.md config 3 scaled): build vecs/sec
+and self-join dedup wall clock."""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarks.common import make_corpus
+from lotus_tpu.ops import kmeans_fit
+from lotus_tpu.ops.flat import flat_search
+
+
+def run(n: int = 200_000, d: int = 384, k: int = 256, iters: int = 10) -> dict[str, Any]:
+    corpus = make_corpus(n, d)
+    x = jnp.asarray(corpus)
+
+    t0 = time.perf_counter()
+    res = kmeans_fit(x, k, iters=iters, key=jax.random.PRNGKey(0))
+    np.asarray(res.assignments)
+    train_s = time.perf_counter() - t0
+
+    # Dedup-style thresholded self-join over a subset (capped neighbours).
+    sub = x[:20_000]
+    t0 = time.perf_counter()
+    d2, i2 = flat_search(sub, sub, 16, metric="ip", block_rows=8192)
+    np.asarray(i2)
+    selfjoin_s = time.perf_counter() - t0
+
+    return {
+        "n": n, "d": d, "k": k, "iters": iters,
+        "kmeans_vecs_per_sec": n * iters / train_s,
+        "inertia": float(res.inertia),
+        "selfjoin_20k_s": selfjoin_s,
+    }

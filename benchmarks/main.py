@@ -1,0 +1,70 @@
+"""Benchmark runner.
+
+Usage:
+    python -m benchmarks.main retrieval_flat --n 1000000 --d 768
+    python -m benchmarks.main retrieval_ivf
+    python -m benchmarks.main rag_pipeline            # smoke mode (fake LM)
+    LOTUS_TPU_BENCH_MODEL=gpt-4o-mini python -m benchmarks.main rag_pipeline
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def _print(metrics: dict, prefix: str = "  ") -> None:
+    for key, value in metrics.items():
+        if isinstance(value, float):
+            print(f"{prefix}{key}: {value:.4f}")
+        elif isinstance(value, list):
+            print(f"{prefix}{key}:")
+            for item in value:
+                print(f"{prefix}  {json.dumps(item, default=str)}")
+        else:
+            print(f"{prefix}{key}: {value}")
+
+
+def run(name: str, **kwargs) -> None:
+    import benchmarks
+
+    bm = benchmarks.get_benchmark(name)
+    print(f"=== {name} ===\n")
+
+    if hasattr(bm, "run"):  # retrieval-substrate suite
+        metrics = bm.run(**{k: v for k, v in kwargs.items() if v is not None and k in {"n", "d", "b", "k"}})
+        _print(metrics)
+        return
+
+    # LM-protocol suite: baseline -> optimize -> re-evaluate.
+    oracle_lm, helper_lm = bm.configure_models()
+    train_df, test_df = bm.load_data()
+    print(f"Train: {len(train_df)} | Test: {len(test_df)}\n")
+
+    baseline = bm.build_pipeline()
+    baseline.print_tree()
+    oracle_lm.reset_stats()
+    result = baseline.execute(test_df)
+    print("\nBaseline:")
+    _print(bm.evaluate(result, test_df, oracle_lm, helper_lm))
+
+    eval_fn = bm.make_eval_fn(train_df)
+    optimized = bm.optimize_pipeline(baseline, train_df, eval_fn, kwargs.get("max_metric_calls") or 50)
+    oracle_lm.reset_stats()
+    result = optimized.execute(test_df)
+    print("\nOptimized:")
+    _print(bm.evaluate(result, test_df, oracle_lm, helper_lm))
+
+
+if __name__ == "__main__":
+    import benchmarks
+
+    parser = argparse.ArgumentParser(description="Run a lotus_tpu benchmark")
+    parser.add_argument("benchmark", choices=benchmarks.BENCHMARKS)
+    parser.add_argument("--n", type=int, default=None)
+    parser.add_argument("--d", type=int, default=None)
+    parser.add_argument("--b", type=int, default=None)
+    parser.add_argument("--k", type=int, default=None)
+    parser.add_argument("--max-metric-calls", type=int, default=50)
+    args = parser.parse_args()
+    run(args.benchmark, n=args.n, d=args.d, b=args.b, k=args.k, max_metric_calls=args.max_metric_calls)

@@ -41,4 +41,8 @@ def __getattr__(name: str):
         from lotus_tpu.models.cross_encoder_reranker import CrossEncoderReranker
 
         return CrossEncoderReranker
+    if name == "ColBERTv2RM":
+        from lotus_tpu.models.colbertv2_rm import ColBERTv2RM
+
+        return ColBERTv2RM
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

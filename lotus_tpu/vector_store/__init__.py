@@ -9,4 +9,18 @@ their optional client packages.
 from lotus_tpu.vector_store.vs import VS
 from lotus_tpu.vector_store.tpu_vs import TpuVS
 
-__all__ = ["VS", "TpuVS"]
+__all__ = ["VS", "TpuVS", "QdrantVS", "WeaviateVS"]
+
+
+def __getattr__(name: str):
+    # Optional remote stores are imported lazily so their client packages
+    # stay optional.
+    if name == "QdrantVS":
+        from lotus_tpu.vector_store.qdrant_vs import QdrantVS
+
+        return QdrantVS
+    if name == "WeaviateVS":
+        from lotus_tpu.vector_store.weaviate_vs import WeaviateVS
+
+        return WeaviateVS
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -115,8 +115,13 @@ def _flat_search_impl(
         gids = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).squeeze(-1)
         scores = masked_scores(xb, xb_norms_sq, valid, gids)
         kb = min(k, n_pad)
-        top_s, pos = jax.lax.top_k(scores, kb)
-        top_i = jnp.take_along_axis(jnp.broadcast_to(gids[None, :], scores.shape), pos, axis=1)
+        if approx and n_pad > 4 * kb:
+            top_s, pos = jax.lax.approx_max_k(scores, kb, recall_target=recall_target)
+        else:
+            top_s, pos = jax.lax.top_k(scores, kb)
+        # top_k positions over the full array ARE the row ids — gathering a
+        # broadcast id matrix here would materialize (B, N) ints.
+        top_i = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, pos)
         return _pad_cols(top_s, top_i, k)
 
     assert n_pad % block_rows == 0, "padded database rows must be a multiple of block_rows"
@@ -145,7 +150,10 @@ def _flat_search_impl(
             top_s, pos = jax.lax.approx_max_k(scores, kb, recall_target=recall_target)
         else:
             top_s, pos = jax.lax.top_k(scores, kb)
-        top_i = jnp.take_along_axis(jnp.broadcast_to(gids[None, :], scores.shape), pos, axis=1)
+        # Block-local top-k positions globalize with the block offset — no
+        # (B, block) id gather needed.  Masked rows (score == MASK_SCORE)
+        # surface as NO_HIT instead of a real-looking row id.
+        top_i = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, inp["bidx"] * block_rows + pos)
         top_s, top_i = _pad_cols(top_s, top_i, k)
         return _merge_topk(best_s, best_i, top_s, top_i, k), None
 

@@ -105,6 +105,44 @@ def kmeans_assign(
     return best, best_score
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _kmeanspp_init(x: jnp.ndarray, n_rows: jnp.ndarray, k: int, key: jax.Array) -> jnp.ndarray:
+    """k-means++ (D^2-weighted) seeding over x (padded rows masked out).
+
+    Each of the k rounds scores all points against only the newest centroid,
+    so the total cost is one k x N distance pass — cheap relative to Lloyd
+    iterations and much more robust than random seeding (random init
+    regularly splits/merges well-separated clusters).
+    """
+    n, d = x.shape
+    x32 = x.astype(jnp.float32)
+    row_ok = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0).squeeze(-1) < n_rows
+
+    key0, key = jax.random.split(key)
+    first = jax.random.randint(key0, (), 0, n_rows)
+    centroids0 = jnp.zeros((k, d), jnp.float32).at[0].set(x32[first])
+
+    def dist_to(c):
+        return jnp.sum(jnp.square(x32 - c[None, :]), axis=-1)
+
+    init_d = jnp.where(row_ok, dist_to(x32[first]), 0.0)
+
+    def body(j, carry):
+        centroids, min_d, key = carry
+        key_j, key = jax.random.split(key)
+        # Sample proportional to min squared distance (Gumbel-max on logs).
+        logits = jnp.where(min_d > 0, jnp.log(min_d), -jnp.inf)
+        gumbel = jax.random.gumbel(key_j, (n,))
+        pick = jnp.argmax(jnp.where(row_ok, logits + gumbel, -jnp.inf))
+        c = x32[pick]
+        centroids = centroids.at[j].set(c)
+        min_d = jnp.minimum(min_d, jnp.where(row_ok, dist_to(c), 0.0))
+        return centroids, min_d, key
+
+    centroids, _, _ = jax.lax.fori_loop(1, k, body, (centroids0, init_d, key))
+    return centroids
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric", "block_rows", "iters", "spherical"))
 def _kmeans_iterate(
     x: jnp.ndarray,
@@ -170,6 +208,7 @@ def kmeans_fit(
     spherical: bool = False,
     block_rows: int = DEFAULT_BLOCK_ROWS,
     max_points: Optional[int] = None,
+    init: str = "kmeans++",
 ) -> KMeansResult:
     """Train k-means with Lloyd's algorithm.
 
@@ -183,6 +222,8 @@ def kmeans_fit(
         max_points: if set, train on a uniform subsample of at most this many
             points (faiss-style ``max_points_per_centroid`` subsampling), then
             assign all points.
+        init: "kmeans++" (default, D^2-weighted seeding) or "random"
+            (faiss-style sampled points; cheaper for very large k).
     """
     check_metric(metric)
     if key is None:
@@ -199,8 +240,20 @@ def kmeans_fit(
 
     tn = train_x.shape[0]
     perm_key, key = jax.random.split(key)
-    init_idx = jax.random.choice(perm_key, tn, shape=(k,), replace=False)
-    init_centroids = train_x[init_idx].astype(jnp.float32)
+    if init == "kmeans++":
+        # Seed on a bounded subsample: ++ quality without a k x N full pass.
+        pp_cap = max(64 * k, 4096)
+        if tn > pp_cap:
+            sub_key, perm_key = jax.random.split(perm_key)
+            sub = train_x[jax.random.choice(sub_key, tn, shape=(pp_cap,), replace=False)]
+        else:
+            sub = train_x
+        init_centroids = _kmeanspp_init(sub.astype(jnp.float32), jnp.int32(sub.shape[0]), k, perm_key)
+    elif init == "random":
+        init_idx = jax.random.choice(perm_key, tn, shape=(k,), replace=False)
+        init_centroids = train_x[init_idx].astype(jnp.float32)
+    else:
+        raise ValueError(f"Unknown init {init!r}; expected 'kmeans++' or 'random'")
     if spherical:
         init_centroids = l2_normalize(init_centroids)
 

@@ -12,9 +12,9 @@ reproduces the reference's exact K=len(df) behavior.
 
 from __future__ import annotations
 
-from collections import defaultdict
 from typing import Any
 
+import numpy as np
 import pandas as pd
 
 import lotus_tpu
@@ -22,24 +22,22 @@ from lotus_tpu.cache import operator_cache
 
 
 def _connected_components(pairs: set[tuple[Any, Any]]) -> list[list[Any]]:
-    graph: dict[Any, set[Any]] = defaultdict(set)
+    """Group duplicate values into components via native union-find
+    (lotus_tpu.native; C++ with a Python fallback)."""
+    from lotus_tpu.native import union_find
+
+    values: dict[Any, int] = {}
     for a, b in pairs:
-        graph[a].add(b)
-        graph[b].add(a)
-    visited: set[Any] = set()
-    components = []
-    for node in graph:
-        if node in visited:
-            continue
-        stack, comp = [node], []
-        while stack:
-            cur = stack.pop()
-            if cur not in visited:
-                visited.add(cur)
-                comp.append(cur)
-                stack.extend(graph[cur] - visited)
-        components.append(comp)
-    return components
+        values.setdefault(a, len(values))
+        values.setdefault(b, len(values))
+    if not values:
+        return []
+    edges = np.array([(values[a], values[b]) for a, b in pairs], dtype=np.int64)
+    labels = union_find(edges, len(values))
+    by_root: dict[int, list[Any]] = {}
+    for value, idx in values.items():
+        by_root.setdefault(int(labels[idx]), []).append(value)
+    return list(by_root.values())
 
 
 @pd.api.extensions.register_dataframe_accessor("sem_dedup")

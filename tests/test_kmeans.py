@@ -65,6 +65,27 @@ def test_kmeans_spherical_normalizes():
     np.testing.assert_allclose(norms, 1.0, atol=1e-3)
 
 
+def test_kmeanspp_robust_across_seeds():
+    # Random init regularly splits/merges well-separated blobs; k-means++
+    # seeding should recover all 8 blobs for every seed.
+    rng = np.random.default_rng(7)
+    x, labels, _ = make_blobs(rng, 200, 8, 32)
+    for seed in range(3):
+        res = kmeans_fit(jnp.asarray(x), 8, iters=10, key=jax.random.PRNGKey(seed))
+        assign = np.asarray(res.assignments)
+        purity = np.mean(
+            [np.bincount(assign[labels == c]).max() / 200 for c in range(8)]
+        )
+        assert purity > 0.99, f"seed {seed}: purity {purity}"
+
+
+def test_kmeans_random_init_still_available():
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((500, 16)).astype(np.float32)
+    res = kmeans_fit(jnp.asarray(x), 8, iters=5, key=jax.random.PRNGKey(0), init="random")
+    assert res.centroids.shape == (8, 16)
+
+
 def test_kmeans_subsampled_training():
     rng = np.random.default_rng(5)
     x, labels, _ = make_blobs(rng, 400, 4, 8)

@@ -10,5 +10,13 @@ all-gather merge, and k-means with psum'd centroid statistics
 from lotus_tpu.parallel.mesh import default_mesh, shard_rows
 from lotus_tpu.parallel.search import sharded_flat_search
 from lotus_tpu.parallel.kmeans import sharded_kmeans_fit
+from lotus_tpu.parallel.ivf import shard_ivf_state, sharded_ivf_search
 
-__all__ = ["default_mesh", "shard_rows", "sharded_flat_search", "sharded_kmeans_fit"]
+__all__ = [
+    "default_mesh",
+    "shard_rows",
+    "sharded_flat_search",
+    "sharded_kmeans_fit",
+    "shard_ivf_state",
+    "sharded_ivf_search",
+]

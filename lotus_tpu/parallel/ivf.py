@@ -1,0 +1,183 @@
+"""Sharded IVF-Flat: inverted lists distributed across chips, probed
+locally, merged over ICI.
+
+BASELINE.md config 5: corpus scales with pod HBM.  Lists are assigned to
+devices in contiguous, row-balanced ranges; centroids are replicated.  A
+query's top-nprobe lists are computed everywhere (replicated coarse
+ranking); each device probes only the lists it owns (non-owned probes are
+masked), producing k local candidates per query; candidates ride the ICI as
+(k x n_dev) tuples via all_gather and every device computes the identical
+final merge.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lotus_tpu.ops.common import MASK_SCORE, NO_HIT, as_distance, round_up
+from lotus_tpu.ops.flat import flat_search
+from lotus_tpu.parallel.mesh import SHARD_AXIS
+
+
+def shard_ivf_state(state: dict[str, Any], mesh: Mesh, axis_name: str = SHARD_AXIS) -> dict[str, Any]:
+    """Split a loaded IVF state (ops/ivf.load_ivf_state) across the mesh.
+
+    Host-side: assign contiguous list ranges to devices balancing total
+    rows, rebuild per-device storage with *local* offsets, pad to a common
+    shape, and place the stacked arrays with the leading axis sharded.
+    """
+    n_dev = mesh.shape[axis_name]
+    starts = np.asarray(state["ivf_list_start"])
+    sizes = np.asarray(state["ivf_list_size"])
+    vectors = np.asarray(state["ivf_vectors"])
+    row_ids = np.asarray(state["ivf_row_ids"])
+    nlist = len(sizes)
+
+    # Contiguous list ranges with balanced row counts.
+    total = int(sizes.sum())
+    target = total / n_dev
+    bounds = [0]
+    acc = 0
+    for li in range(nlist):
+        acc += int(sizes[li])
+        if acc >= target * len(bounds) and len(bounds) < n_dev:
+            bounds.append(li + 1)
+    while len(bounds) < n_dev + 1:
+        bounds.append(nlist)
+    bounds[-1] = nlist
+
+    per_dev = []
+    max_rows = 0
+    window = int(state["meta"]["probe_window"])
+    for d in range(n_dev):
+        lo, hi = bounds[d], bounds[d + 1]
+        if hi > lo:
+            row_lo = int(starts[lo])
+            row_hi = int(starts[hi - 1] + sizes[hi - 1])
+        else:
+            row_lo = row_hi = 0
+        vecs = vectors[row_lo:row_hi]
+        ids = row_ids[row_lo:row_hi]
+        local_start = np.full(nlist, 0, np.int32)
+        owned = np.zeros(nlist, bool)
+        if hi > lo:
+            local_start[lo:hi] = starts[lo:hi] - row_lo
+            owned[lo:hi] = True
+        per_dev.append((vecs, ids, local_start, owned))
+        max_rows = max(max_rows, len(vecs))
+
+    max_rows = round_up(max_rows + window, 8)  # window overshoot room
+    stacked_vecs = np.zeros((n_dev, max_rows, vectors.shape[1]), vectors.dtype)
+    stacked_ids = np.full((n_dev, max_rows), NO_HIT, np.int32)
+    stacked_start = np.zeros((n_dev, nlist), np.int32)
+    stacked_owned = np.zeros((n_dev, nlist), bool)
+    for d, (vecs, ids, local_start, owned) in enumerate(per_dev):
+        stacked_vecs[d, : len(vecs)] = vecs
+        stacked_ids[d, : len(ids)] = ids
+        stacked_start[d] = local_start
+        stacked_owned[d] = owned
+
+    shard = NamedSharding(mesh, P(axis_name))
+    return {
+        "meta": state["meta"],
+        "centroids": state["centroids"],  # replicated
+        "vecs": jax.device_put(jnp.asarray(stacked_vecs), NamedSharding(mesh, P(axis_name, None, None))),
+        "row_ids": jax.device_put(jnp.asarray(stacked_ids), NamedSharding(mesh, P(axis_name, None))),
+        "list_start": jax.device_put(jnp.asarray(stacked_start), NamedSharding(mesh, P(axis_name, None))),
+        "owned": jax.device_put(jnp.asarray(stacked_owned), shard if stacked_owned.ndim == 1 else NamedSharding(mesh, P(axis_name, None))),
+        "list_size": state["ivf_list_size"],  # replicated
+        "mesh": mesh,
+        "axis_name": axis_name,
+    }
+
+
+def sharded_ivf_search(
+    sharded: dict[str, Any],
+    xq: jnp.ndarray,
+    k: int,
+    *,
+    nprobe: int,
+    metric: str,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Search the list-sharded IVF index; returns replicated (dists, ids)."""
+    mesh: Mesh = sharded["mesh"]
+    axis_name: str = sharded["axis_name"]
+    meta = sharded["meta"]
+    nlist = int(meta["nlist"])
+    window = int(meta["probe_window"])
+    nprobe = max(1, min(nprobe, nlist))
+
+    squeeze = xq.ndim == 1
+    if squeeze:
+        xq = xq[None, :]
+    xq = xq.astype(jnp.float32)
+    b = xq.shape[0]
+    n_dev = mesh.shape[axis_name]
+
+    centroids = sharded["centroids"]
+    list_size = sharded["list_size"]
+    offsets = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0).squeeze(-1)
+
+    def local_probe(vecs, row_ids, list_start, owned, xq_rep):
+        vecs, row_ids, list_start, owned = vecs[0], row_ids[0], list_start[0], owned[0]
+        _, probe_lists = flat_search(centroids, xq_rep, nprobe, metric=metric)
+
+        starts = list_start[probe_lists]  # (B, nprobe) local offsets
+        sizes = list_size[probe_lists]
+        mine = owned[probe_lists]  # (B, nprobe)
+        rows = starts[:, :, None] + offsets[None, None, :]
+        in_list = (offsets[None, None, :] < sizes[:, :, None]) & mine[:, :, None]
+        rows_flat = rows.reshape(b, nprobe * window)
+        gathered = vecs[rows_flat]
+
+        if xq_rep.dtype == jnp.bfloat16 or vecs.dtype == jnp.bfloat16:
+            cd, prec = jnp.bfloat16, None
+        else:
+            cd, prec = jnp.float32, jax.lax.Precision.HIGHEST
+        sims = jnp.einsum(
+            "qd,qnd->qn", xq_rep.astype(cd), gathered.astype(cd),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        if metric == "l2":
+            norms = jnp.sum(jnp.square(vecs.astype(jnp.float32)), axis=-1)
+            sims = 2.0 * sims - norms[rows_flat]
+        scores = jnp.where(in_list.reshape(b, nprobe * window), sims, MASK_SCORE)
+        kc = min(k, nprobe * window)
+        top_s, pos = jax.lax.top_k(scores, kc)
+        top_ids = row_ids[jnp.take_along_axis(rows_flat, pos, axis=1)]
+        top_ids = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_ids)
+        if kc < k:
+            padn = k - kc
+            top_s = jnp.concatenate([top_s, jnp.full((b, padn), MASK_SCORE)], axis=1)
+            top_ids = jnp.concatenate([top_ids, jnp.full((b, padn), NO_HIT, jnp.int32)], axis=1)
+
+        all_s = jax.lax.all_gather(top_s, axis_name, axis=0)  # (n_dev, B, k)
+        all_i = jax.lax.all_gather(top_ids, axis_name, axis=0)
+        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_dev * k)
+        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_dev * k)
+        fs, pos2 = jax.lax.top_k(cand_s, k)
+        return fs, jnp.take_along_axis(cand_i, pos2, axis=1)
+
+    fn = jax.shard_map(
+        local_probe, mesh=mesh,
+        in_specs=(
+            P(axis_name, None, None), P(axis_name, None),
+            P(axis_name, None), P(axis_name, None), P(),
+        ),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    top_s, top_i = fn(sharded["vecs"], sharded["row_ids"], sharded["list_start"], sharded["owned"], xq)
+
+    dists = as_distance(top_s, metric)
+    if metric == "l2":
+        q_norms = jnp.sum(jnp.square(xq), axis=-1, keepdims=True)
+        dists = jnp.where(top_i == NO_HIT, jnp.finfo(jnp.float32).max, dists + q_norms)
+    if squeeze:
+        return dists[0], top_i[0]
+    return dists, top_i

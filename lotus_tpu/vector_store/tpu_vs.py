@@ -123,6 +123,12 @@ class TpuVS(VS):
             from lotus_tpu.ops.ivf import load_ivf_state
 
             state.update(load_ivf_state(self.index_dir, meta, dtype))
+            if self.mesh is not None and len(self.mesh.devices.flat) > 1:
+                from lotus_tpu.parallel import shard_ivf_state
+
+                ivf_full = dict(state)
+                ivf_full["meta"] = meta
+                state["ivf_sharded"] = shard_ivf_state(ivf_full, self.mesh)
         # Flat path (also used by IVF for subset searches and K > reach).
         n_pad = round_up(max(n, 1), self.block_rows) if n > self.block_rows else n
         xb = np.zeros((n_pad, d), dtype=np.float32)
@@ -168,10 +174,19 @@ class TpuVS(VS):
         k_eff = int(min(K, max(n, 1)))
         use_ivf = meta["kind"] == "ivf" and ids is None
         if use_ivf:
-            from lotus_tpu.ops.ivf import ivf_search
-
             nprobe = int(kwargs.get("nprobe", self.nprobe))
-            dists, idx = ivf_search(state, jnp.asarray(xq), k_eff, nprobe=nprobe, metric=meta["metric"])
+            if "ivf_sharded" in state:
+                from lotus_tpu.parallel import sharded_ivf_search
+
+                dists, idx = sharded_ivf_search(
+                    state["ivf_sharded"], jnp.asarray(xq), k_eff, nprobe=nprobe, metric=meta["metric"]
+                )
+            else:
+                from lotus_tpu.ops.ivf import ivf_search
+
+                dists, idx = ivf_search(
+                    state, jnp.asarray(xq), k_eff, nprobe=nprobe, metric=meta["metric"]
+                )
         elif self.mesh is not None and "xb_sharded" in state:
             from lotus_tpu.parallel import sharded_flat_search
 

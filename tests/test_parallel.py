@@ -73,3 +73,58 @@ def test_sharded_kmeans_matches_quality(mesh):
     for c in range(k):
         _, counts = np.unique(assign[labels == c], return_counts=True)
         assert counts.max() / counts.sum() > 0.99
+
+
+def test_sharded_ivf_matches_single_device(mesh, tmp_path):
+    import jax.numpy as jnp
+
+    from lotus_tpu.ops import io as index_io
+    from lotus_tpu.ops.ivf import build_ivf, ivf_search, load_ivf_state
+    from lotus_tpu.parallel.ivf import shard_ivf_state, sharded_ivf_search
+
+    rng = np.random.default_rng(5)
+    n, d, b, k = 2000, 32, 6, 10
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:b] + 0.02 * rng.standard_normal((b, d)).astype(np.float32)
+
+    idx_dir = str(tmp_path / "ivf")
+    meta = build_ivf(idx_dir, emb, nlist=32, metric="ip")
+    meta = {"kind": "ivf", "metric": "ip", **meta}
+    state = load_ivf_state(idx_dir, meta, jnp.float32)
+    state["meta"] = meta
+
+    ref_d, ref_i = ivf_search(state, jnp.asarray(queries), k, nprobe=32, metric="ip")
+
+    sharded = shard_ivf_state(state, mesh)
+    got_d, got_i = sharded_ivf_search(sharded, jnp.asarray(queries), k, nprobe=32, metric="ip")
+
+    # nprobe == nlist: both are exhaustive -> same neighbour sets.
+    for q in range(b):
+        assert set(np.asarray(got_i)[q]) == set(np.asarray(ref_i)[q])
+    np.testing.assert_allclose(
+        np.sort(np.asarray(got_d)[0]), np.sort(np.asarray(ref_d)[0]), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sharded_ivf_partial_probe(mesh, tmp_path):
+    import jax.numpy as jnp
+
+    from lotus_tpu.ops.ivf import build_ivf, load_ivf_state
+    from lotus_tpu.parallel.ivf import shard_ivf_state, sharded_ivf_search
+
+    rng = np.random.default_rng(6)
+    n, d, b, k = 1500, 16, 4, 5
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:b]
+
+    idx_dir = str(tmp_path / "ivf2")
+    meta = {"kind": "ivf", "metric": "ip", **build_ivf(idx_dir, emb, nlist=24, metric="ip")}
+    state = load_ivf_state(idx_dir, meta, jnp.float32)
+    state["meta"] = meta
+    sharded = shard_ivf_state(state, mesh)
+    d_out, i_out = sharded_ivf_search(sharded, jnp.asarray(queries), k, nprobe=6, metric="ip")
+    got = np.asarray(i_out)
+    # Each query's own row must be found (it lives in the top probed list).
+    assert all(q in got[q] for q in range(b))

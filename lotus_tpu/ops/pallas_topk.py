@@ -1,0 +1,112 @@
+"""Pallas fused distance + bucket-reduce kernel for Flat search.
+
+The TPU-KNN recipe ("K Nearest Neighbor Search at Peak FLOP/s",
+arXiv:2206.14286) at the kernel level: for each (query tile, db block) the
+kernel computes the score tile on the MXU and immediately reduces it to one
+(max score, argmax id) candidate per BUCKET consecutive db rows — entirely
+in VMEM, so the (TQ, TN) score tile never touches HBM.  A query's exact
+top-k is then recovered with one cheap `lax.top_k` over the (N / BUCKET)
+candidates.
+
+Recall: with k neighbours hashed into N/BUCKET buckets, the expected loss
+is ~C(k,2)*BUCKET/N (two true neighbours colliding in one bucket); at
+N=1M, k=10, BUCKET=128 that is ~0.6% — and BUCKET is tunable.
+
+The kernel avoids HBM traffic for scores: per block only (TQ, TN/BUCKET)
+candidates are written, a BUCKET-fold reduction of output bandwidth.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lotus_tpu.ops.common import MASK_SCORE, NO_HIT, cdiv
+
+DEFAULT_TQ = 512  # query tile rows
+DEFAULT_TN = 2048  # db block rows per grid step
+DEFAULT_BUCKET = 128  # db rows per emitted candidate
+
+
+def _bucket_kernel(xq_ref, xb_ref, out_s_ref, out_i_ref, *, bucket: int, tn: int):
+    """One (query tile, db block) step: score tile -> per-bucket (max, argmax)."""
+    scores = jnp.dot(
+        xq_ref[:], xb_ref[:].T, preferred_element_type=jnp.float32
+    )  # (TQ, TN) on the MXU
+    tq = scores.shape[0]
+    nb = tn // bucket
+    s3 = scores.reshape(tq, nb, bucket)
+    bmax = jnp.max(s3, axis=2)
+    barg = jnp.argmax(s3, axis=2).astype(jnp.int32)
+    block_idx = pl.program_id(1)
+    local_bucket = jax.lax.broadcasted_iota(jnp.int32, (tq, nb), 1)
+    out_s_ref[:] = bmax
+    out_i_ref[:] = block_idx * tn + local_bucket * bucket + barg
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "tq", "tn", "bucket", "interpret")
+)
+def pallas_bucketed_search(
+    xb: jnp.ndarray,
+    xq: jnp.ndarray,
+    k: int,
+    *,
+    tq: int = DEFAULT_TQ,
+    tn: int = DEFAULT_TN,
+    bucket: int = DEFAULT_BUCKET,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Inner-product top-k via the fused Pallas bucket kernel.
+
+    Requirements: xb rows divisible by ``tn`` (the vector store pads),
+    ``tn`` divisible by ``bucket``; query batch is padded to ``tq``
+    internally.  Returns (scores desc, ids) of shape (B, k).
+    """
+    n, d = xb.shape
+    b = xq.shape[0]
+    assert n % tn == 0, f"db rows {n} must be a multiple of tn={tn}"
+    assert tn % bucket == 0
+
+    b_pad = cdiv(b, tq) * tq
+    if b_pad != b:
+        xq = jnp.pad(xq, ((0, b_pad - b), (0, 0)))
+
+    compute_dtype = jnp.bfloat16 if xb.dtype == jnp.bfloat16 else xq.dtype
+    xq_c = xq.astype(compute_dtype)
+    xb_c = xb.astype(compute_dtype)
+
+    grid = (b_pad // tq, n // tn)
+    nb = tn // bucket
+    out_shape = (
+        jax.ShapeDtypeStruct((b_pad, (n // tn) * nb), jnp.float32),
+        jax.ShapeDtypeStruct((b_pad, (n // tn) * nb), jnp.int32),
+    )
+    cand_s, cand_i = pl.pallas_call(
+        functools.partial(_bucket_kernel, bucket=bucket, tn=tn),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tq, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tq, nb), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tq, nb), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n * d,
+            bytes_accessed=b_pad * d * 4 + n * d * 2 + b_pad * (n // bucket) * 8,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq_c, xb_c)
+
+    top_s, pos = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    top_i = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_i)
+    return top_s[:b], top_i[:b]

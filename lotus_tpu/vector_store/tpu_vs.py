@@ -72,6 +72,13 @@ class TpuVS(VS):
         self.index_dir: str | None = None
         # Device-resident state for the currently loaded index.
         self._state: dict[str, Any] | None = None
+        # Observability: cumulative search statistics (stats-dict convention).
+        self.stats: dict[str, Any] = {
+            "searches": 0,
+            "queries": 0,
+            "subset_searches": 0,
+            "total_search_s": 0.0,
+        }
 
     # ------------------------------------------------------------------ build
     def index(
@@ -155,6 +162,9 @@ class TpuVS(VS):
         ids: list[int] | None = None,
         **kwargs: Any,
     ) -> RMOutput:
+        import time as _time
+
+        t_start = _time.perf_counter()
         state = self._materialize()
         meta = state["meta"]
         n, d = state["n_rows"], state["dim"]
@@ -217,6 +227,11 @@ class TpuVS(VS):
 
         dists_np = np.asarray(dists, dtype=np.float64)
         idx_np = np.asarray(idx, dtype=np.int64)
+        self.stats["searches"] += 1
+        self.stats["queries"] += int(xq.shape[0])
+        if ids is not None:
+            self.stats["subset_searches"] += 1
+        self.stats["total_search_s"] += _time.perf_counter() - t_start
         if k_eff < K:  # faiss-style -1 padding when K exceeds the collection
             pad = K - k_eff
             dists_np = np.pad(dists_np, ((0, 0), (0, pad)), constant_values=0.0)

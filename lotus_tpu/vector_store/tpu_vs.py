@@ -182,7 +182,17 @@ class TpuVS(VS):
             valid = jnp.asarray(mask)
 
         k_eff = int(min(K, max(n, 1)))
+        # Regime-based planning: the window-gather IVF probe reads
+        # O(nprobe x max_list) rows PER QUERY, while the flat scan reads the
+        # database once for the WHOLE batch.  Past roughly
+        # batch >= nlist / nprobe the exhaustive scan is both faster and
+        # exact, so prefer it there (ids-restricted searches always scan).
         use_ivf = meta["kind"] == "ivf" and ids is None
+        if use_ivf:
+            nlist = int(meta.get("nlist", 1))
+            nprobe_planned = int(kwargs.get("nprobe", self.nprobe))
+            if xq.shape[0] * max(nprobe_planned, 1) >= nlist:
+                use_ivf = False
         if use_ivf:
             nprobe = int(kwargs.get("nprobe", self.nprobe))
             if "ivf_sharded" in state:

@@ -130,3 +130,24 @@ def test_l2_metric_store(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out.distances), np.take_along_axis(d2, ref, 1), rtol=1e-3, atol=1e-3
     )
+
+
+def test_ivf_probe_path_small_batch(tmp_path, data):
+    # Small batch with nprobe << nlist takes the true IVF probe path.
+    emb, queries = data
+    vs = TpuVS(index_type="ivf", nlist=64, nprobe=8)
+    vs.index([], emb, str(tmp_path / "ivf_small"))
+    out = vs(queries[:1], 5)  # 1 * 8 < 64 -> probe
+    got = np.asarray(out.indices)[0]
+    assert (got >= 0).all()
+    ref = brute_topk(emb, queries[:1], 1)[0, 0]
+    assert ref in got  # top-1's list is always probed
+
+
+def test_ivf_regime_planner_uses_flat_at_large_batch(tmp_path, data):
+    emb, queries = data
+    vs = TpuVS(index_type="ivf", nlist=16, nprobe=8)
+    vs.index([], emb, str(tmp_path / "ivf_plan"))
+    out = vs(queries, 10)  # 8 * 8 >= 16 -> exhaustive scan, exact results
+    ref = brute_topk(emb, queries, 10)
+    assert (np.asarray(out.indices) == ref).mean() > 0.99

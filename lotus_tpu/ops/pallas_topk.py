@@ -33,19 +33,26 @@ DEFAULT_BUCKET = 128  # db rows per emitted candidate
 
 
 def _bucket_kernel(xq_ref, xb_ref, out_s_ref, out_i_ref, *, bucket: int, tn: int):
-    """One (query tile, db block) step: score tile -> per-bucket (max, argmax)."""
+    """One (query tile, db block) step: score tile -> per-bucket (max, argmax).
+
+    Candidates are written transposed, (nb, TQ): Pallas TPU requires output
+    block minor dims divisible by (8, 128), which (TQ, nb=TN/bucket) would
+    violate for practical bucket sizes.
+    """
     scores = jnp.dot(
         xq_ref[:], xb_ref[:].T, preferred_element_type=jnp.float32
     )  # (TQ, TN) on the MXU
     tq = scores.shape[0]
     nb = tn // bucket
+    # (TQ, nb, bucket) -> reduce the bucket axis.
     s3 = scores.reshape(tq, nb, bucket)
     bmax = jnp.max(s3, axis=2)
     barg = jnp.argmax(s3, axis=2).astype(jnp.int32)
     block_idx = pl.program_id(1)
     local_bucket = jax.lax.broadcasted_iota(jnp.int32, (tq, nb), 1)
-    out_s_ref[:] = bmax
-    out_i_ref[:] = block_idx * tn + local_bucket * bucket + barg
+    ids = block_idx * tn + local_bucket * bucket + barg
+    out_s_ref[:] = bmax.T
+    out_i_ref[:] = ids.T
 
 
 @functools.partial(
@@ -83,10 +90,10 @@ def pallas_bucketed_search(
     grid = (b_pad // tq, n // tn)
     nb = tn // bucket
     out_shape = (
-        jax.ShapeDtypeStruct((b_pad, (n // tn) * nb), jnp.float32),
-        jax.ShapeDtypeStruct((b_pad, (n // tn) * nb), jnp.int32),
+        jax.ShapeDtypeStruct(((n // tn) * nb, b_pad), jnp.float32),
+        jax.ShapeDtypeStruct(((n // tn) * nb, b_pad), jnp.int32),
     )
-    cand_s, cand_i = pl.pallas_call(
+    cand_s_t, cand_i_t = pl.pallas_call(
         functools.partial(_bucket_kernel, bucket=bucket, tn=tn),
         grid=grid,
         in_specs=[
@@ -94,8 +101,8 @@ def pallas_bucketed_search(
             pl.BlockSpec((tn, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tq, nb), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tq, nb), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, tq), lambda i, j: (j, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, tq), lambda i, j: (j, i), memory_space=pltpu.VMEM),
         ),
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
@@ -106,6 +113,8 @@ def pallas_bucketed_search(
         interpret=interpret,
     )(xq_c, xb_c)
 
+    cand_s = cand_s_t.T  # (b_pad, total_nb)
+    cand_i = cand_i_t.T
     top_s, pos = jax.lax.top_k(cand_s, k)
     top_i = jnp.take_along_axis(cand_i, pos, axis=1)
     top_i = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_i)

@@ -329,10 +329,12 @@ def sem_join_cascade(
     all_docs: list[dict[str, Any]] = []
     all_ids1: list[int] = []
     all_ids2: list[int] = []
-    left_data = task_instructions.df2multimodal_info(
-        low_conf[[col1_label]].drop_duplicates(), [col1_label]
-    )
-    for id1, left_doc in zip(low_conf["_left_id"].unique(), left_data):
+    # One doc per unique LEFT ID (deduplicating by value, as the reference
+    # does at sem_join.py:283-289, misaligns ids and docs when left values
+    # repeat).
+    uniq_left = low_conf.drop_duplicates(subset=["_left_id"])
+    left_data = task_instructions.df2multimodal_info(uniq_left[[col1_label]], [col1_label])
+    for id1, left_doc in zip(uniq_left["_left_id"], left_data):
         rows = low_conf[low_conf["_left_id"] == id1]
         merged = task_instructions.merge_multimodal_info(
             [left_doc], task_instructions.df2multimodal_info(rows[[col2_label]], [col2_label])

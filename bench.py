@@ -32,7 +32,7 @@ def main() -> None:
 
     from lotus_tpu.ops import flat_search
 
-    N, D, B, K = 1_000_000, 768, 4096, 10
+    N, D, B, K = 1_048_576, 768, 4096, 10  # N divisible by BLOCK: the store pre-pads, so the kernel never re-pads
     BLOCK = 65536
     ITERS = 10
     rng = np.random.default_rng(0)
@@ -63,10 +63,13 @@ def main() -> None:
             q = xq_dev + 0.0 * d[:, :1]
         return d, i
 
-    t0 = time.perf_counter()
-    d1, i1 = chained(ITERS)
-    float(np.asarray(d1[0, 0]))  # single roundtrip fetch
-    per_call = (time.perf_counter() - t0) / ITERS
+    # First chained trial also compiles the feedback add; report min of 3.
+    per_call = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d1, i1 = chained(ITERS)
+        float(np.asarray(d1[0, 0]))  # single roundtrip fetch
+        per_call = min(per_call, (time.perf_counter() - t0) / ITERS)
     qps = B / per_call
 
     # Recall vs exact f32 ground truth on a query subsample.

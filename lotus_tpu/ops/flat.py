@@ -207,7 +207,16 @@ def flat_search(
 
     n_pad = xb.shape[0]
     if n_pad > block_rows and n_pad % block_rows != 0:
-        # One-time copy fallback; large stores pre-pad to avoid this.
+        # Copy fallback; the store pre-pads to avoid this. Warn, because the
+        # copy repeats on EVERY call and costs more than the search itself
+        # at large N (observed 6x slowdown at 1M x 768).
+        import lotus_tpu
+
+        lotus_tpu.logger.warning(
+            f"flat_search: database rows ({n_pad}) not a multiple of block_rows "
+            f"({block_rows}); padding copies the database on every call — "
+            "pre-pad the storage for performance."
+        )
         pad = cdiv(n_pad, block_rows) * block_rows - n_pad
         xb = jnp.pad(xb, ((0, pad), (0, 0)))
         if valid is not None:

@@ -31,8 +31,22 @@ def _scores_for_block(
     block: jnp.ndarray,
     metric: str,
     block_norms_sq: Optional[jnp.ndarray],
+    block_scales: Optional[jnp.ndarray] = None,
+    q_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(B, d) x (block, d) -> (B, block) max-is-better scores in f32."""
+    if block.dtype == jnp.int8:
+        # Quantized storage: int8 x int8 on the MXU with int32 accumulation,
+        # dequantized by the two rank-1 scale factors (ops/quant.py).
+        from lotus_tpu.ops.quant import int8_scores
+
+        assert block_scales is not None and q_scale is not None
+        sims = int8_scores(xq, q_scale, block, block_scales)
+        if metric in ("ip", "cosine"):
+            return sims
+        if block_norms_sq is None:
+            raise ValueError("l2 over int8 storage requires precomputed row norms")
+        return 2.0 * sims - block_norms_sq[None, :]
     # MXU policy: if either side is bf16, multiply in bf16 (full MXU rate)
     # and accumulate in f32.  For f32 inputs request HIGHEST precision —
     # the TPU default would silently round operands to bf16, breaking the
@@ -95,16 +109,24 @@ def _flat_search_impl(
     block_rows: int,
     approx: bool,
     recall_target: float,
+    xb_scales: Optional[jnp.ndarray] = None,
+    q_scale: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     n_pad, d = xb.shape
     b = xq.shape[0]
 
     need_norms = metric == "l2"
     if need_norms and xb_norms_sq is None:
-        xb_norms_sq = jnp.sum(jnp.square(xb.astype(jnp.float32)), axis=-1)
+        if xb.dtype == jnp.int8:
+            assert xb_scales is not None
+            xb_norms_sq = (
+                jnp.sum(jnp.square(xb.astype(jnp.float32)), axis=-1) * jnp.square(xb_scales)
+            )
+        else:
+            xb_norms_sq = jnp.sum(jnp.square(xb.astype(jnp.float32)), axis=-1)
 
-    def masked_scores(block, bnorm, bvalid, gids):
-        scores = _scores_for_block(xq, block, metric, bnorm)
+    def masked_scores(block, bnorm, bvalid, gids, bscale=None):
+        scores = _scores_for_block(xq, block, metric, bnorm, block_scales=bscale, q_scale=q_scale)
         row_ok = gids[None, :] < n_rows
         if bvalid is not None:
             row_ok = jnp.logical_and(row_ok, bvalid[None, :])
@@ -113,7 +135,7 @@ def _flat_search_impl(
     num_blocks = cdiv(n_pad, block_rows)
     if num_blocks <= 1:
         gids = jax.lax.broadcasted_iota(jnp.int32, (n_pad, 1), 0).squeeze(-1)
-        scores = masked_scores(xb, xb_norms_sq, valid, gids)
+        scores = masked_scores(xb, xb_norms_sq, valid, gids, xb_scales)
         kb = min(k, n_pad)
         if approx and n_pad > 4 * kb:
             top_s, pos = jax.lax.approx_max_k(scores, kb, recall_target=recall_target)
@@ -136,6 +158,8 @@ def _flat_search_impl(
         xs["norms"] = xb_norms_sq.reshape(num_blocks, block_rows)
     if valid is not None:
         xs["valid"] = valid.reshape(num_blocks, block_rows)
+    if xb_scales is not None:
+        xs["scales"] = xb_scales.reshape(num_blocks, block_rows)
 
     init = (
         jnp.full((b, k), MASK_SCORE, jnp.float32),
@@ -145,7 +169,7 @@ def _flat_search_impl(
     def body(carry, inp):
         best_s, best_i = carry
         gids = inp["bidx"] * block_rows + local_ids
-        scores = masked_scores(inp["block"], inp.get("norms"), inp.get("valid"), gids)
+        scores = masked_scores(inp["block"], inp.get("norms"), inp.get("valid"), gids, inp.get("scales"))
         if approx and scores.shape[1] > 4 * kb:
             top_s, pos = jax.lax.approx_max_k(scores, kb, recall_target=recall_target)
         else:
@@ -173,8 +197,13 @@ def flat_search(
     block_rows: int = DEFAULT_BLOCK_ROWS,
     approx: bool = False,
     recall_target: float = 0.95,
+    xb_scales: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k search of ``xq`` against ``xb``.
+
+    int8 databases (``xb.dtype == int8`` with per-row ``xb_scales``) are
+    scored int8 x int8 on the MXU; queries are quantized per call
+    (ops/quant.py).
 
     Args:
         xb: (N_pad, d) database. May be padded past the logical row count;
@@ -205,6 +234,18 @@ def flat_search(
         n_rows = xb.shape[0]
     n_rows_arr = jnp.asarray(n_rows, jnp.int32)
 
+    q_scale = None
+    if xb.dtype == jnp.int8:
+        # Quantized storage: quantize queries per-row so scoring stays int8.
+        from lotus_tpu.ops.quant import quantize_rows
+
+        if xb_scales is None:
+            raise ValueError("int8 databases require xb_scales (per-row dequant factors)")
+        xq_orig = xq
+        xq, q_scale = quantize_rows(xq)
+    else:
+        xq_orig = xq
+
     n_pad = xb.shape[0]
     if n_pad > block_rows and n_pad % block_rows != 0:
         # Copy fallback; the store pre-pads to avoid this. Warn, because the
@@ -223,14 +264,17 @@ def flat_search(
             valid = jnp.pad(valid, (0, pad))
         if xb_norms_sq is not None:
             xb_norms_sq = jnp.pad(xb_norms_sq, (0, pad))
+        if xb_scales is not None:
+            xb_scales = jnp.pad(xb_scales, (0, pad))
 
     scores, idx = _flat_search_impl(
         xb, xq, n_rows_arr, valid, xb_norms_sq,
         k, metric, block_rows, approx, recall_target,
+        xb_scales, q_scale,
     )
     dists = as_distance(scores, metric)
     if metric == "l2":
-        q_norms = jnp.sum(jnp.square(xq.astype(jnp.float32)), axis=-1, keepdims=True)
+        q_norms = jnp.sum(jnp.square(xq_orig.astype(jnp.float32)), axis=-1, keepdims=True)
         dists = dists + q_norms
         dists = jnp.where(idx == NO_HIT, jnp.finfo(jnp.float32).max, dists)
     if squeeze:

@@ -26,7 +26,12 @@ from lotus_tpu.ops.flat import DEFAULT_BLOCK_ROWS, flat_search
 from lotus_tpu.types import RMOutput
 from lotus_tpu.vector_store.vs import VS
 
-_DTYPE_NAMES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "float16": jnp.float16}
+_DTYPE_NAMES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float16": jnp.float16,
+    "int8": jnp.int8,
+}
 
 
 class TpuVS(VS):
@@ -140,13 +145,24 @@ class TpuVS(VS):
         n_pad = round_up(max(n, 1), self.block_rows) if n > self.block_rows else n
         xb = np.zeros((n_pad, d), dtype=np.float32)
         xb[:n] = vecs
-        state["xb"] = jnp.asarray(xb, dtype=dtype)
-        if meta["metric"] == "l2":
-            state["xb_norms_sq"] = jnp.sum(
-                jnp.square(state["xb"].astype(jnp.float32)), axis=-1
+        if dtype == jnp.int8:
+            from lotus_tpu.ops.quant import quantize_rows
+
+            q, scales = quantize_rows(jnp.asarray(xb))
+            state["xb"] = q
+            state["xb_scales"] = scales
+            state["xb_norms_sq"] = (
+                jnp.sum(jnp.square(jnp.asarray(xb)), axis=-1) if meta["metric"] == "l2" else None
             )
         else:
-            state["xb_norms_sq"] = None
+            state["xb"] = jnp.asarray(xb, dtype=dtype)
+            state["xb_scales"] = None
+            if meta["metric"] == "l2":
+                state["xb_norms_sq"] = jnp.sum(
+                    jnp.square(state["xb"].astype(jnp.float32)), axis=-1
+                )
+            else:
+                state["xb_norms_sq"] = None
         if self.mesh is not None and len(self.mesh.devices.flat) > 1:
             from lotus_tpu.parallel import shard_rows
 
@@ -233,6 +249,7 @@ class TpuVS(VS):
                 metric=meta["metric"], n_rows=n, valid=valid,
                 xb_norms_sq=state["xb_norms_sq"],
                 block_rows=self.block_rows, approx=self.approx,
+                xb_scales=state.get("xb_scales"),
             )
 
         dists_np = np.asarray(dists, dtype=np.float64)

@@ -118,3 +118,26 @@ def test_flat_l2_distances_are_true_squared_l2():
         for j in range(5):
             true = ((xq[qi] - xb[idx[qi, j]]) ** 2).sum()
             assert abs(dists[qi, j] - true) < 1e-3
+
+
+def test_flat_int8_database_recall():
+    from lotus_tpu.ops.quant import quantize_rows
+
+    rng = np.random.default_rng(7)
+    n, d, b, k = 2048, 64, 16, 10
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+    xq = xb[:b] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+
+    q, scales = quantize_rows(jnp.asarray(xb))
+    _, idx = flat_search(q, jnp.asarray(xq), k, metric="ip", block_rows=512, xb_scales=scales)
+    _, ref_i = numpy_topk(xb, xq, k, "ip")
+    recall = np.mean([len(set(np.asarray(idx)[i]) & set(ref_i[i])) / k for i in range(b)])
+    assert recall >= 0.95
+
+
+def test_flat_int8_requires_scales():
+    rng = np.random.default_rng(8)
+    xb = (rng.integers(-127, 127, (64, 8))).astype(np.int8)
+    with pytest.raises(ValueError, match="xb_scales"):
+        flat_search(jnp.asarray(xb), jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32)), 3)

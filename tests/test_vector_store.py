@@ -151,3 +151,14 @@ def test_ivf_regime_planner_uses_flat_at_large_batch(tmp_path, data):
     out = vs(queries, 10)  # 8 * 8 >= 16 -> exhaustive scan, exact results
     ref = brute_topk(emb, queries, 10)
     assert (np.asarray(out.indices) == ref).mean() > 0.99
+
+
+def test_int8_store_recall(tmp_path, data):
+    emb, queries = data
+    vs = TpuVS(device_dtype="int8")
+    vs.index([], emb, str(tmp_path / "int8"))
+    out = vs(queries, 10)
+    ref = brute_topk(emb, queries, 10)
+    got = np.asarray(out.indices)
+    recall = np.mean([len(set(got[i]) & set(ref[i])) / 10 for i in range(len(queries))])
+    assert recall >= 0.95

@@ -97,3 +97,18 @@ def test_sem_dedup(tmp_path):
 def test_sem_partition_by(df):
     out = df.sem_partition_by(lotus_tpu.utils.cluster("title", 2))
     assert "_lotus_partition_id" in out.columns
+
+
+def test_sem_search_rerank_with_fake_reranker(df):
+    from lotus_tpu.models.reranker import Reranker
+    from lotus_tpu.types import RerankerOutput
+
+    class ReverseReranker(Reranker):
+        def __call__(self, query, docs, K):
+            return RerankerOutput(indices=list(range(len(docs)))[::-1][:K])
+
+    lotus_tpu.settings.configure(reranker=ReverseReranker())
+    plain = df.sem_search("title", "machine learning", K=3)
+    reranked = df.sem_search("title", "machine learning", K=3, n_rerank=2)
+    assert len(reranked) == 2
+    assert reranked["title"].iloc[0] == plain["title"].iloc[2]

@@ -204,3 +204,27 @@ def test_usage_limit_enforced():
     df = pd.DataFrame({"text": ["a"] * 3})
     with pytest.raises(LotusUsageLimitException):
         df.sem_map("{text}")
+
+
+def test_sem_map_multimodal_image_content():
+    from PIL import Image
+
+    from lotus_tpu.dtype_extensions import ImageArray, ImageDtype
+
+    seen = []
+
+    def responder(prompt, messages, **kw):
+        seen.append(messages)
+        return "described"
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    img = Image.new("RGB", (4, 4), (0, 0, 255))
+    df = pd.DataFrame({"pic": pd.array(ImageArray([img]), dtype=ImageDtype())})
+    out = df.sem_map("Describe the {pic}")
+    assert out["_map"].tolist() == ["described"]
+    # The user message must carry an image_url content part (base64 data URL).
+    user = [m for m in seen[0] if m["role"] == "user"][0]
+    parts = user["content"]
+    assert isinstance(parts, list)
+    image_parts = [p for p in parts if p.get("type") == "image_url"]
+    assert image_parts and image_parts[0]["image_url"]["url"].startswith("data:image/png;base64,")

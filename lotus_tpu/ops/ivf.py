@@ -82,6 +82,10 @@ def build_ivf(
 
 
 def load_ivf_state(index_dir: str, meta: dict[str, Any], dtype: Any) -> dict[str, Any]:
+    if dtype == jnp.int8:
+        # Quantized IVF storage is not implemented yet (docs/roadmap.md); a
+        # raw int8 cast would truncate the floats. Fall back to bfloat16.
+        dtype = jnp.bfloat16
     return {
         "centroids": jnp.asarray(index_io.read_array(index_dir, "ivf_centroids", mmap=False)),
         "ivf_vectors": jnp.asarray(

@@ -162,3 +162,13 @@ def test_int8_store_recall(tmp_path, data):
     got = np.asarray(out.indices)
     recall = np.mean([len(set(got[i]) & set(ref[i])) / 10 for i in range(len(queries))])
     assert recall >= 0.95
+
+
+def test_int8_ivf_falls_back_safely(tmp_path, data):
+    emb, queries = data
+    vs = TpuVS(index_type="ivf", nlist=32, nprobe=4, device_dtype="int8")
+    vs.index([], emb, str(tmp_path / "int8ivf"))
+    out = vs(queries[:1], 5)  # probe path; must not produce garbage
+    got = np.asarray(out.indices)[0]
+    ref = brute_topk(emb, queries[:1], 1)[0, 0]
+    assert ref in got

@@ -9,7 +9,6 @@ provider.
 from __future__ import annotations
 
 import os
-import tempfile
 from typing import Any
 
 import pandas as pd

@@ -19,7 +19,7 @@ side) are walked recursively with path-addressed targets.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import TYPE_CHECKING, Any, Callable
 
 import pandas as pd

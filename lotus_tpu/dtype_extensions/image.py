@@ -8,10 +8,9 @@ per-index cache, and compares by pixel content.
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Union
+from typing import Any, Sequence
 
 import numpy as np
-import pandas as pd
 from pandas.api.extensions import ExtensionArray, ExtensionDtype
 
 from lotus_tpu.utils import fetch_image

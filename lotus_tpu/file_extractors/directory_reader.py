@@ -12,7 +12,6 @@ installed, byte-signature sniffing for extension-less URLs, incremental
 from __future__ import annotations
 
 import glob as _glob
-import io
 import json
 import os
 import tempfile

@@ -17,7 +17,7 @@ from numpy.typing import NDArray
 
 from lotus_tpu.models.lm import LM
 from lotus_tpu.models.rm import RM
-from lotus_tpu.models.transport import CallableTransport, Completion, CompletionUsage
+from lotus_tpu.models.transport import Completion, CompletionUsage
 from lotus_tpu.types import TokenLogprob, TopLogprob
 
 

@@ -9,14 +9,13 @@ IVF coarse quantizer at pod scale.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from lotus_tpu.ops.common import cdiv, check_metric, l2_normalize
+from lotus_tpu.ops.common import check_metric, l2_normalize
 from lotus_tpu.ops.kmeans import KMeansResult, _assign_scores
 from lotus_tpu.parallel.mesh import SHARD_AXIS
 

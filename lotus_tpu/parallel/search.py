@@ -10,7 +10,6 @@ reference (it has no distributed path) but required for pod-scale corpora.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

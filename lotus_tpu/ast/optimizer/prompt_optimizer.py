@@ -170,9 +170,12 @@ class _PromptOptimizerBase(BaseOptimizer):
         from lotus_tpu.ast.run import LazyFrameRun
 
         tmp = LazyFrame(_nodes=nodes)
-        inputs = example if isinstance(example, (pd.DataFrame, dict)) else example
+        if not isinstance(example, (pd.DataFrame, dict)):
+            return 0.0, {
+                "error": f"training example must be a DataFrame or input dict, got {type(example).__name__}"
+            }
         try:
-            output = LazyFrameRun(tmp, inputs, cache=self._cache).execute()
+            output = LazyFrameRun(tmp, example, cache=self._cache).execute()
         except Exception as e:
             lotus_tpu.logger.warning(f"Prompt optimizer: candidate execution failed: {e}")
             return 0.0, {"error": str(e)}

@@ -44,7 +44,9 @@ class ImageArray(ExtensionArray):
     def __setitem__(self, key, value) -> None:
         if isinstance(key, (int, np.integer)):
             self._data[key] = value
-            self._cache.pop(int(key), None)
+            # Cache keys are (idx, image_type) tuples — drop every rendering
+            # of this index.
+            self._cache = {k: v for k, v in self._cache.items() if k[0] != int(key)}
         else:
             self._data[key] = value
             self._cache.clear()

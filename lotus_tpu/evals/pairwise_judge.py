@@ -116,8 +116,12 @@ class PairwiseJudgeDataframe:
                     out_df = out
                 out_df = out_df.drop(columns=self._obj.columns)
                 if c1 != col1:
-                    # Re-map so "A" always refers to col1.
+                    # Re-map so "A" always refers to col1.  Raw-output and
+                    # explanation columns hold free text — remapping them
+                    # would turn them into NaN.
                     for col_name in out_df.columns:
+                        if col_name.startswith(("raw_output", "explanation")):
+                            continue
                         out_df[col_name] = out_df[col_name].map({"A": "B", "B": "A"})
                 outputs.append(out_df)
 

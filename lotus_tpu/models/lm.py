@@ -359,10 +359,22 @@ class LM:
     # ----------------------------------------------------------- tokenization
     def count_tokens(self, messages: list[dict[str, Any]] | str) -> int:
         if isinstance(messages, str):
-            text = messages
-        else:
-            text = "".join(str(m.get("content", "")) for m in messages)
-        return self.tokenizer.count(text)
+            return self.tokenizer.count(messages)
+        parts: list[str] = []
+        for m in messages:
+            content = m.get("content", "")
+            if isinstance(content, str):
+                parts.append(content)
+            elif isinstance(content, list):
+                # Multimodal content: count only text parts — stringifying
+                # image parts would count base64 payloads as text and
+                # inflate estimates ~1000x (breaking TPM limiting).
+                for p in content:
+                    if isinstance(p, dict) and p.get("type") == "text":
+                        parts.append(str(p.get("text", "")))
+            else:
+                parts.append(str(content))
+        return self.tokenizer.count("".join(parts))
 
     def encode_text(self, text: str) -> list[Any]:
         return self.tokenizer.encode(text)

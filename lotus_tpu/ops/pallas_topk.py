@@ -63,6 +63,7 @@ def pallas_bucketed_search(
     xq: jnp.ndarray,
     k: int,
     *,
+    n_rows: int | None = None,
     tq: int = DEFAULT_TQ,
     tn: int = DEFAULT_TN,
     bucket: int = DEFAULT_BUCKET,
@@ -70,7 +71,8 @@ def pallas_bucketed_search(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Inner-product top-k via the fused Pallas bucket kernel.
 
-    Requirements: xb rows divisible by ``tn`` (the vector store pads),
+    Requirements: xb rows divisible by ``tn`` (the vector store pads —
+    pass ``n_rows`` for the logical count so padded zero rows can't win),
     ``tn`` divisible by ``bucket``; query batch is padded to ``tq``
     internally.  Returns (scores desc, ids) of shape (B, k).
     """
@@ -78,6 +80,9 @@ def pallas_bucketed_search(
     b = xq.shape[0]
     assert n % tn == 0, f"db rows {n} must be a multiple of tn={tn}"
     assert tn % bucket == 0
+    if n_rows is None:
+        n_rows = n
+    k = min(k, n // bucket)  # at most one candidate per bucket exists
 
     b_pad = cdiv(b, tq) * tq
     if b_pad != b:
@@ -115,6 +120,9 @@ def pallas_bucketed_search(
 
     cand_s = cand_s_t.T  # (b_pad, total_nb)
     cand_i = cand_i_t.T
+    # Mask candidates from padded rows (zero vectors can out-score negative
+    # true products) before the final top-k.
+    cand_s = jnp.where(cand_i < n_rows, cand_s, MASK_SCORE)
     top_s, pos = jax.lax.top_k(cand_s, k)
     top_i = jnp.take_along_axis(cand_i, pos, axis=1)
     top_i = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_i)

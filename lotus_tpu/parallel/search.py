@@ -33,6 +33,7 @@ def sharded_flat_search(
     axis_name: str = SHARD_AXIS,
     block_rows: int = DEFAULT_BLOCK_ROWS,
     approx: bool = False,
+    xb_scales: Optional[jnp.ndarray] = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Exact top-k over a row-sharded database.
 
@@ -42,6 +43,8 @@ def sharded_flat_search(
         xq: (B, d) queries (replicated).
         n_rows: logical row count (padding rows are masked out).
         valid: optional (N_pad,) bool subset mask, sharded like xb.
+        xb_scales: per-row dequantization factors for int8 databases,
+            sharded like xb.
 
     Returns:
         (distances, indices) of shape (B, k), replicated; indices are global
@@ -59,7 +62,7 @@ def sharded_flat_search(
     if squeeze:
         xq = xq[None, :]
 
-    def local_search(xb_local, valid_local, xq_rep):
+    def local_search(xb_local, valid_local, xq_rep, scales_local=None):
         shard_id = jax.lax.axis_index(axis_name)
         row_offset = shard_id * rows_per_shard
         # Rows beyond the logical count are masked via n_rows relative to
@@ -74,6 +77,7 @@ def sharded_flat_search(
             valid=valid_local,
             block_rows=block_rows,
             approx=approx,
+            xb_scales=scales_local,
         )
         scores = as_similarity(dists, metric)
         scores = jnp.where(idx == NO_HIT, MASK_SCORE, scores)
@@ -89,23 +93,35 @@ def sharded_flat_search(
         top_i = jnp.take_along_axis(cand_i, pos, axis=1)
         return top_s, top_i
 
-    if valid is None:
-        def entry(xb_local, xq_rep):
-            return local_search(xb_local, None, xq_rep)
+    # Build the shard_map entry for the present optional operands (valid
+    # mask and/or int8 scales), each row-sharded alongside xb.
+    operands: list[jnp.ndarray] = [xb_sharded]
+    specs: list = [P(axis_name, None)]
+    has_valid, has_scales = valid is not None, xb_scales is not None
+    if has_valid:
+        operands.append(valid)
+        specs.append(P(axis_name))
+    if has_scales:
+        operands.append(xb_scales)
+        specs.append(P(axis_name))
+    operands.append(xq)
+    specs.append(P())
 
-        fn = jax.shard_map(
-            entry, mesh=mesh,
-            in_specs=(P(axis_name, None), P()),
-            out_specs=(P(), P()), check_vma=False,
-        )
-        top_s, top_i = fn(xb_sharded, xq)
-    else:
-        fn = jax.shard_map(
-            local_search, mesh=mesh,
-            in_specs=(P(axis_name, None), P(axis_name), P()),
-            out_specs=(P(), P()), check_vma=False,
-        )
-        top_s, top_i = fn(xb_sharded, valid, xq)
+    def entry(*args):
+        xb_local = args[0]
+        i = 1
+        valid_local = args[i] if has_valid else None
+        i += int(has_valid)
+        scales_local = args[i] if has_scales else None
+        xq_rep = args[-1]
+        return local_search(xb_local, valid_local, xq_rep, scales_local)
+
+    fn = jax.shard_map(
+        entry, mesh=mesh,
+        in_specs=tuple(specs),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    top_s, top_i = fn(*operands)
 
     # flat_search already returned full metric-convention distances (incl. the
     # +||q||^2 term for l2), so converting back is exact here.

@@ -278,8 +278,14 @@ class SemFilterDataframe:
                 search_df = self._obj.sem_search(
                     main_cols[0], main_instr, K=len(self._obj), return_scores=True
                 )
-                # Re-align scores to the original row order.
-                proxy_scores = search_df["vec_scores_sim_score"].reindex(self._obj.index).tolist()
+                # Re-align scores to the original row order and clip to
+                # [0, 1]: cosine/ip similarities can be negative, and the
+                # importance sampler takes sqrt(score).
+                from lotus_tpu.sem_ops.cascade_utils import calibrate_sem_sim_join
+
+                proxy_scores = calibrate_sem_sim_join(
+                    search_df["vec_scores_sim_score"].reindex(self._obj.index).tolist()
+                )
 
             if pos_t is None or neg_t is None:
                 sample_indices, correction_factors = importance_sampling(proxy_scores, cascade_args)

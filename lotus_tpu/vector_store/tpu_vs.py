@@ -130,7 +130,7 @@ class TpuVS(VS):
         vecs = index_io.read_array(self.index_dir, "vectors")
         n, d = vecs.shape
 
-        state: dict[str, Any] = {"meta": meta, "n_rows": n, "dim": d}
+        state: dict[str, Any] = {"meta": meta, "n_rows": n, "dim": d, "dtype": dtype}
         if meta["kind"] == "ivf":
             from lotus_tpu.ops.ivf import load_ivf_state
 
@@ -141,7 +141,24 @@ class TpuVS(VS):
                 ivf_full = dict(state)
                 ivf_full["meta"] = meta
                 state["ivf_sharded"] = shard_ivf_state(ivf_full, self.mesh)
-        # Flat path (also used by IVF for subset searches and K > reach).
+        else:
+            # Flat index: the scan array IS the index; build it eagerly.
+            self._ensure_flat_arrays(state)
+        self._state = state
+        return state
+
+    def _ensure_flat_arrays(self, state: dict[str, Any]) -> None:
+        """Materialize the padded scan arrays (flat path).
+
+        For IVF indexes this is deferred until a search actually needs the
+        exhaustive path (ids-restricted searches or the large-batch regime)
+        — building it eagerly would double HBM use for nothing.
+        """
+        if "xb" in state:
+            return
+        meta, dtype = state["meta"], state["dtype"]
+        n, d = state["n_rows"], state["dim"]
+        vecs = index_io.read_array(self.index_dir, "vectors")
         n_pad = round_up(max(n, 1), self.block_rows) if n > self.block_rows else n
         xb = np.zeros((n_pad, d), dtype=np.float32)
         xb[:n] = vecs
@@ -167,8 +184,11 @@ class TpuVS(VS):
             from lotus_tpu.parallel import shard_rows
 
             state["xb_sharded"], _ = shard_rows(state["xb"], self.mesh, block_rows=self.block_rows)
-        self._state = state
-        return state
+            if state["xb_scales"] is not None:
+                state["xb_scales_sharded"], _ = shard_rows(
+                    state["xb_scales"][:, None], self.mesh, block_rows=self.block_rows
+                )
+                state["xb_scales_sharded"] = state["xb_scales_sharded"][:, 0]
 
     # ----------------------------------------------------------------- search
     def __call__(
@@ -190,12 +210,6 @@ class TpuVS(VS):
             xq = xq[None, :]
         if xq.shape[1] != d:
             raise ValueError(f"query dim {xq.shape[1]} != index dim {d}")
-
-        valid = None
-        if ids is not None:
-            mask = np.zeros(state["xb"].shape[0], dtype=bool)
-            mask[np.asarray(ids, dtype=np.int64)] = True
-            valid = jnp.asarray(mask)
 
         k_eff = int(min(K, max(n, 1)))
         # Regime-based planning: the window-gather IVF probe reads
@@ -223,34 +237,42 @@ class TpuVS(VS):
                 dists, idx = ivf_search(
                     state, jnp.asarray(xq), k_eff, nprobe=nprobe, metric=meta["metric"]
                 )
-        elif self.mesh is not None and "xb_sharded" in state:
-            from lotus_tpu.parallel import sharded_flat_search
-
-            # note: subset search on the sharded path requires a sharded mask
-            sharded_valid = None
-            if valid is not None:
-                from lotus_tpu.parallel import shard_rows
-
-                pad_n = state["xb_sharded"].shape[0]
-                mask_pad = np.zeros(pad_n, dtype=bool)
-                mask_pad[: valid.shape[0]] = np.asarray(valid)
-                sharded_valid, _ = shard_rows(
-                    jnp.asarray(mask_pad)[:, None], self.mesh, block_rows=self.block_rows
-                )
-                sharded_valid = sharded_valid[:, 0]
-            dists, idx = sharded_flat_search(
-                state["xb_sharded"], jnp.asarray(xq), k_eff,
-                n_rows=n, metric=meta["metric"], mesh=self.mesh,
-                valid=sharded_valid, block_rows=self.block_rows, approx=self.approx,
-            )
         else:
-            dists, idx = flat_search(
-                state["xb"], jnp.asarray(xq), k_eff,
-                metric=meta["metric"], n_rows=n, valid=valid,
-                xb_norms_sq=state["xb_norms_sq"],
-                block_rows=self.block_rows, approx=self.approx,
-                xb_scales=state.get("xb_scales"),
-            )
+            # Exhaustive scan path (flat indexes, ids-restricted searches,
+            # and the large-batch IVF regime). Materialized lazily for IVF.
+            self._ensure_flat_arrays(state)
+            valid = None
+            if ids is not None:
+                mask = np.zeros(state["xb"].shape[0], dtype=bool)
+                mask[np.asarray(ids, dtype=np.int64)] = True
+                valid = jnp.asarray(mask)
+
+            if "xb_sharded" in state:
+                from lotus_tpu.parallel import shard_rows, sharded_flat_search
+
+                sharded_valid = None
+                if valid is not None:
+                    pad_n = state["xb_sharded"].shape[0]
+                    mask_pad = np.zeros(pad_n, dtype=bool)
+                    mask_pad[: valid.shape[0]] = np.asarray(valid)
+                    sharded_valid, _ = shard_rows(
+                        jnp.asarray(mask_pad)[:, None], self.mesh, block_rows=self.block_rows
+                    )
+                    sharded_valid = sharded_valid[:, 0]
+                dists, idx = sharded_flat_search(
+                    state["xb_sharded"], jnp.asarray(xq), k_eff,
+                    n_rows=n, metric=meta["metric"], mesh=self.mesh,
+                    valid=sharded_valid, block_rows=self.block_rows, approx=self.approx,
+                    xb_scales=state.get("xb_scales_sharded"),
+                )
+            else:
+                dists, idx = flat_search(
+                    state["xb"], jnp.asarray(xq), k_eff,
+                    metric=meta["metric"], n_rows=n, valid=valid,
+                    xb_norms_sq=state["xb_norms_sq"],
+                    block_rows=self.block_rows, approx=self.approx,
+                    xb_scales=state.get("xb_scales"),
+                )
 
         dists_np = np.asarray(dists, dtype=np.float64)
         idx_np = np.asarray(idx, dtype=np.int64)

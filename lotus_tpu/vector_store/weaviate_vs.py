@@ -31,11 +31,8 @@ class WeaviateVS(VS):
         self.vector_index_config = vector_index_config
         self.embedding_dim: int | None = None
 
-    def __del__(self):
-        try:
-            self.client.close()
-        except Exception:
-            pass
+    # NOTE: the client is caller-injected and caller-owned; this store never
+    # closes it (the reference's __del__ closed shared clients on GC).
 
     def index(self, docs: list[str], embeddings: NDArray[np.float64], index_dir: str, **kwargs: Any) -> None:
         from weaviate.classes.config import DataType, Property

@@ -158,3 +158,31 @@ def test_image_series_in_dataframe():
     assert isinstance(df["pic"].dtype, ImageDtype)
     base = convert_to_base_data(df["pic"])
     assert np.asarray(base[0]).shape == (2, 2, 3)
+
+
+def test_image_setitem_invalidates_all_renderings():
+    from PIL import Image
+
+    from lotus_tpu.dtype_extensions import ImageArray
+
+    red = Image.new("RGB", (2, 2), (255, 0, 0))
+    blue = Image.new("RGB", (2, 2), (0, 0, 255))
+    arr = ImageArray([red])
+    b64_before = arr.get_image(0, "base64")
+    arr[0] = blue
+    assert arr.get_image(0, "base64") != b64_before
+    assert np.asarray(arr.get_image(0))[0, 0, 2] == 255  # now blue
+
+
+def test_count_tokens_skips_image_payloads():
+    from lotus_tpu.models import make_fake_lm
+
+    lm = make_fake_lm()
+    msgs = [{
+        "role": "user",
+        "content": [
+            {"type": "text", "text": "short question"},
+            {"type": "image_url", "image_url": {"url": "data:image/png;base64," + "A" * 100_000}},
+        ],
+    }]
+    assert lm.count_tokens(msgs) < 50

@@ -128,3 +128,22 @@ def test_sharded_ivf_partial_probe(mesh, tmp_path):
     got = np.asarray(i_out)
     # Each query's own row must be found (it lives in the top probed list).
     assert all(q in got[q] for q in range(b))
+
+
+def test_sharded_int8_store(mesh, tmp_path):
+    # Review finding: int8 + mesh used to crash (scales never reached the
+    # sharded kernel).
+    from lotus_tpu.vector_store import TpuVS
+
+    rng = np.random.default_rng(9)
+    emb = rng.standard_normal((600, 32)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:4] + 0.02 * rng.standard_normal((4, 32)).astype(np.float32)
+
+    vs = TpuVS(device_dtype="int8", mesh=mesh, block_rows=32)
+    vs.index([], emb, str(tmp_path / "int8_sharded"))
+    out = vs(queries, 5)
+    got = np.asarray(out.indices)
+    ref = np.argsort(-(queries @ emb.T), axis=1)[:, :5]
+    recall = np.mean([len(set(got[i]) & set(ref[i])) / 5 for i in range(4)])
+    assert recall >= 0.9

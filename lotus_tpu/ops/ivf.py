@@ -215,3 +215,179 @@ def ivf_search(
     if squeeze:
         return dists[0], idx[0]
     return dists, idx
+
+
+# ---------------------------------------------------------------------------
+# Query-grouped probe: the large-batch IVF path.
+#
+# The window probe above gathers O(nprobe x window) rows PER QUERY; this
+# kernel inverts the loop and processes each probed list ONCE for all the
+# queries that probe it, so the whole batch reads at most the database once
+# while doing only sum-over-pairs FLOPs (~nprobe/nlist of an exhaustive
+# scan).  Everything is static-shaped: (query, list) pairs are sorted by
+# list on device, cut into work units of at most QU queries over one list,
+# and a fori_loop executes one (QU x window) MXU matmul per unit, writing
+# each unit's candidates into its disjoint slice of a per-pair pool.
+# ---------------------------------------------------------------------------
+
+GROUPED_QU = 128  # queries per work unit
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "window", "metric", "qu", "u_max")
+)
+def _ivf_probe_grouped(
+    centroids: jnp.ndarray,
+    xb_sorted: jnp.ndarray,
+    row_ids: jnp.ndarray,
+    list_start: jnp.ndarray,
+    list_size: jnp.ndarray,
+    xq: jnp.ndarray,
+    k: int,
+    nprobe: int,
+    window: int,
+    metric: str,
+    qu: int,
+    u_max: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    b, d = xq.shape
+    nlist = list_start.shape[0]
+    p = b * nprobe
+
+    _, probe_lists = flat_search(centroids, xq, nprobe, metric=metric)  # (B, nprobe)
+
+    # Sorted (query, list, slot) pair table.
+    q_ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nprobe)
+    slots = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), b)
+    l_ids = probe_lists.reshape(-1)
+    order = jnp.argsort(l_ids, stable=True)
+    sq, sl, sslot = q_ids[order], l_ids[order], slots[order]
+
+    counts = jax.ops.segment_sum(jnp.ones((p,), jnp.int32), sl, num_segments=nlist)
+    pair_start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    chunks = -(-counts // qu)  # ceil
+    chunk_cum = jnp.cumsum(chunks)  # inclusive
+    total_units = chunk_cum[-1]
+
+    if metric == "l2":
+        xb_norms = jnp.sum(jnp.square(xb_sorted.astype(jnp.float32)), axis=-1)
+    else:
+        xb_norms = None
+
+    if xq.dtype == jnp.bfloat16 or xb_sorted.dtype == jnp.bfloat16:
+        cd, prec = jnp.bfloat16, None
+    else:
+        cd, prec = jnp.float32, jax.lax.Precision.HIGHEST
+
+    # Pad query table so out-of-chunk lanes index a dummy row.
+    sq_pad = jnp.concatenate([sq, jnp.zeros((qu,), jnp.int32)])
+    xq_pad = jnp.concatenate([xq, jnp.zeros((1, d), xq.dtype)])  # dummy query b
+
+    kc = min(k, window)
+    pool_s = jnp.full((p + qu, kc), MASK_SCORE, jnp.float32)
+    pool_i = jnp.full((p + qu, kc), NO_HIT, jnp.int32)
+    offsets_w = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0).squeeze(-1)
+    offsets_q = jax.lax.broadcasted_iota(jnp.int32, (qu, 1), 0).squeeze(-1)
+
+    def body(u, pools):
+        pool_s, pool_i = pools
+        valid_unit = u < total_units
+        # Which list does unit u belong to, and which chunk within it?
+        lid = jnp.searchsorted(chunk_cum, u, side="right").astype(jnp.int32)
+        lid = jnp.minimum(lid, nlist - 1)
+        prev_units = jnp.where(lid > 0, chunk_cum[lid - 1], 0)
+        chunk_idx = (u - prev_units).astype(jnp.int32)
+
+        qstart = pair_start[lid] + chunk_idx * qu
+        remaining = counts[lid] - chunk_idx * qu
+        in_chunk = offsets_q < remaining
+
+        q_idx = jax.lax.dynamic_slice(sq_pad, (qstart,), (qu,))
+        qvecs = xq_pad[jnp.where(in_chunk, q_idx, b)]  # (QU, d)
+
+        lstart = list_start[lid]
+        lsize = list_size[lid]
+        lvecs = jax.lax.dynamic_slice(xb_sorted, (lstart, 0), (window, d))
+        row_ok = offsets_w < lsize
+
+        sims = jnp.einsum(
+            "qd,wd->qw", qvecs.astype(cd), lvecs.astype(cd),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        if metric == "l2":
+            wnorms = jax.lax.dynamic_slice(xb_norms, (lstart,), (window,))
+            sims = 2.0 * sims - wnorms[None, :]
+        scores = jnp.where(row_ok[None, :] & in_chunk[:, None], sims, MASK_SCORE)
+
+        top_s, pos = jax.lax.top_k(scores, kc)
+        top_rows = lstart + jnp.take_along_axis(
+            jnp.broadcast_to(offsets_w[None, :], scores.shape), pos, axis=1
+        )
+        top_ids = row_ids[top_rows]
+        top_ids = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_ids)
+
+        # Each unit owns a disjoint range of sorted-pair rows; out-of-chunk
+        # lanes and padded units are parked on the dummy tail.
+        targets = jnp.where(valid_unit & in_chunk, qstart + offsets_q, p + offsets_q)
+        pool_s = pool_s.at[targets].set(top_s)
+        pool_i = pool_i.at[targets].set(top_ids)
+        return pool_s, pool_i
+
+    pool_s, pool_i = jax.lax.fori_loop(0, u_max, body, (pool_s, pool_i))
+    pool_s, pool_i = pool_s[:p], pool_i[:p]
+
+    # Route each sorted pair's candidates back to (query, probe slot).
+    cand_s = jnp.full((b, nprobe, kc), MASK_SCORE, jnp.float32)
+    cand_i = jnp.full((b, nprobe, kc), NO_HIT, jnp.int32)
+    cand_s = cand_s.at[sq, sslot].set(pool_s)
+    cand_i = cand_i.at[sq, sslot].set(pool_i)
+    cand_s = cand_s.reshape(b, nprobe * kc)
+    cand_i = cand_i.reshape(b, nprobe * kc)
+
+    k_out = min(k, nprobe * kc)
+    top_s, pos = jax.lax.top_k(cand_s, k_out)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    if k_out < k:
+        padn = k - k_out
+        top_s = jnp.concatenate([top_s, jnp.full((b, padn), MASK_SCORE)], axis=1)
+        top_i = jnp.concatenate([top_i, jnp.full((b, padn), NO_HIT, jnp.int32)], axis=1)
+    return top_s, top_i
+
+
+def ivf_search_grouped(
+    state: dict[str, Any],
+    xq: jnp.ndarray,
+    k: int,
+    *,
+    nprobe: int,
+    metric: str,
+    qu: int = GROUPED_QU,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Large-batch IVF search via the query-grouped probe."""
+    meta = state["meta"]
+    nlist = int(meta["nlist"])
+    window = int(meta["probe_window"])
+    nprobe = max(1, min(nprobe, nlist))
+
+    squeeze = xq.ndim == 1
+    if squeeze:
+        xq = xq[None, :]
+    xq = xq.astype(jnp.float32)
+    b = xq.shape[0]
+    u_max = -(-b * nprobe // qu) + nlist
+
+    scores, idx = _ivf_probe_grouped(
+        state["centroids"],
+        state["ivf_vectors"],
+        state["ivf_row_ids"],
+        state["ivf_list_start"],
+        state["ivf_list_size"],
+        xq, k, nprobe, window, metric, qu, u_max,
+    )
+    dists = as_distance(scores, metric)
+    if metric == "l2":
+        q_norms = jnp.sum(jnp.square(xq), axis=-1, keepdims=True)
+        dists = jnp.where(idx == NO_HIT, jnp.finfo(jnp.float32).max, dists + q_norms)
+    if squeeze:
+        return dists[0], idx[0]
+    return dists, idx

@@ -212,24 +212,26 @@ class TpuVS(VS):
             raise ValueError(f"query dim {xq.shape[1]} != index dim {d}")
 
         k_eff = int(min(K, max(n, 1)))
-        # Regime-based planning: the window-gather IVF probe reads
-        # O(nprobe x max_list) rows PER QUERY, while the flat scan reads the
-        # database once for the WHOLE batch.  Past roughly
-        # batch >= nlist / nprobe the exhaustive scan is both faster and
-        # exact, so prefer it there (ids-restricted searches always scan).
+        # Regime-based planning for IVF: the window probe reads
+        # O(nprobe x max_list) rows PER QUERY (latency-optimal at small
+        # batch); past batch * nprobe >= nlist the query-grouped probe
+        # amortizes each list read over the batch.  ids-restricted searches
+        # always use the masked exhaustive scan.
         use_ivf = meta["kind"] == "ivf" and ids is None
         if use_ivf:
-            nlist = int(meta.get("nlist", 1))
-            nprobe_planned = int(kwargs.get("nprobe", self.nprobe))
-            if xq.shape[0] * max(nprobe_planned, 1) >= nlist:
-                use_ivf = False
-        if use_ivf:
             nprobe = int(kwargs.get("nprobe", self.nprobe))
+            nlist = int(meta.get("nlist", 1))
             if "ivf_sharded" in state:
                 from lotus_tpu.parallel import sharded_ivf_search
 
                 dists, idx = sharded_ivf_search(
                     state["ivf_sharded"], jnp.asarray(xq), k_eff, nprobe=nprobe, metric=meta["metric"]
+                )
+            elif xq.shape[0] * max(nprobe, 1) >= nlist:
+                from lotus_tpu.ops.ivf import ivf_search_grouped
+
+                dists, idx = ivf_search_grouped(
+                    state, jnp.asarray(xq), k_eff, nprobe=nprobe, metric=meta["metric"]
                 )
             else:
                 from lotus_tpu.ops.ivf import ivf_search

@@ -144,13 +144,15 @@ def test_ivf_probe_path_small_batch(tmp_path, data):
     assert ref in got  # top-1's list is always probed
 
 
-def test_ivf_regime_planner_uses_flat_at_large_batch(tmp_path, data):
+def test_ivf_regime_planner_grouped_at_large_batch(tmp_path, data):
     emb, queries = data
-    vs = TpuVS(index_type="ivf", nlist=16, nprobe=8)
+    vs = TpuVS(index_type="ivf", nlist=16, nprobe=16)
     vs.index([], emb, str(tmp_path / "ivf_plan"))
-    out = vs(queries, 10)  # 8 * 8 >= 16 -> exhaustive scan, exact results
+    out = vs(queries, 10)  # 8 * 16 >= 16 -> grouped probe; nprobe == nlist -> exact
     ref = brute_topk(emb, queries, 10)
-    assert (np.asarray(out.indices) == ref).mean() > 0.99
+    got = np.asarray(out.indices)
+    for q in range(len(queries)):
+        assert set(got[q]) == set(ref[q])
 
 
 def test_int8_store_recall(tmp_path, data):
@@ -172,3 +174,47 @@ def test_int8_ivf_falls_back_safely(tmp_path, data):
     got = np.asarray(out.indices)[0]
     ref = brute_topk(emb, queries[:1], 1)[0, 0]
     assert ref in got
+
+
+def test_grouped_probe_matches_window_probe(tmp_path, data):
+    import jax.numpy as jnp
+
+    from lotus_tpu.ops.ivf import build_ivf, ivf_search, ivf_search_grouped, load_ivf_state
+
+    emb, queries = data
+    idx_dir = str(tmp_path / "grp")
+    meta = {"kind": "ivf", "metric": "ip", **build_ivf(idx_dir, emb, nlist=16, metric="ip")}
+    state = load_ivf_state(idx_dir, meta, jnp.float32)
+    state["meta"] = meta
+
+    for nprobe in (4, 16):
+        d_ref, i_ref = ivf_search(state, jnp.asarray(queries), 10, nprobe=nprobe, metric="ip")
+        d_grp, i_grp = ivf_search_grouped(state, jnp.asarray(queries), 10, nprobe=nprobe, metric="ip", qu=8)
+        for q in range(len(queries)):
+            assert set(np.asarray(i_grp)[q]) == set(np.asarray(i_ref)[q]), (nprobe, q)
+        np.testing.assert_allclose(
+            np.sort(np.asarray(d_grp), axis=1), np.sort(np.asarray(d_ref), axis=1), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_grouped_probe_l2(tmp_path):
+    import jax.numpy as jnp
+
+    from lotus_tpu.ops.ivf import build_ivf, ivf_search, ivf_search_grouped, load_ivf_state
+
+    rng = np.random.default_rng(11)
+    emb = rng.standard_normal((500, 24)).astype(np.float32)
+    q = rng.standard_normal((6, 24)).astype(np.float32)
+    idx_dir = "/tmp/grp_l2_test"
+    import shutil
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    meta = {"kind": "ivf", "metric": "l2", **build_ivf(idx_dir, emb, nlist=12, metric="l2")}
+    state = load_ivf_state(idx_dir, meta, jnp.float32)
+    state["meta"] = meta
+    d_ref, i_ref = ivf_search(state, jnp.asarray(q), 5, nprobe=12, metric="l2")
+    d_grp, i_grp = ivf_search_grouped(state, jnp.asarray(q), 5, nprobe=12, metric="l2", qu=4)
+    for qi in range(6):
+        assert set(np.asarray(i_grp)[qi]) == set(np.asarray(i_ref)[qi])
+    np.testing.assert_allclose(
+        np.sort(np.asarray(d_grp), axis=1), np.sort(np.asarray(d_ref), axis=1), rtol=1e-3, atol=1e-3
+    )

@@ -212,26 +212,29 @@ class TpuVS(VS):
             raise ValueError(f"query dim {xq.shape[1]} != index dim {d}")
 
         k_eff = int(min(K, max(n, 1)))
-        # Regime-based planning for IVF: the window probe reads
-        # O(nprobe x max_list) rows PER QUERY (latency-optimal at small
-        # batch); past batch * nprobe >= nlist the query-grouped probe
-        # amortizes each list read over the batch.  ids-restricted searches
-        # always use the masked exhaustive scan.
+        # Regime-based planning for IVF (measured on v5e, docs/benchmarks.md):
+        # - small batch: the window probe (latency-optimal; reads only the
+        #   probed lists).
+        # - large batch (batch * nprobe >= nlist): the exhaustive
+        #   approx_max_k scan — it amortizes one database pass over the
+        #   batch and measured BOTH faster and more accurate than the
+        #   gather-bound grouped probe (87k vs 15k QPS at 1M x 768, equal
+        #   recall).  ivf_search_grouped stays available explicitly; making
+        #   it win needs Pallas scalar-prefetch block DMA (docs/roadmap.md).
+        # - ids-restricted searches always use the masked scan.
         use_ivf = meta["kind"] == "ivf" and ids is None
         if use_ivf:
-            nprobe = int(kwargs.get("nprobe", self.nprobe))
             nlist = int(meta.get("nlist", 1))
+            nprobe_planned = int(kwargs.get("nprobe", self.nprobe))
+            if xq.shape[0] * max(nprobe_planned, 1) >= nlist:
+                use_ivf = False
+        if use_ivf:
+            nprobe = int(kwargs.get("nprobe", self.nprobe))
             if "ivf_sharded" in state:
                 from lotus_tpu.parallel import sharded_ivf_search
 
                 dists, idx = sharded_ivf_search(
                     state["ivf_sharded"], jnp.asarray(xq), k_eff, nprobe=nprobe, metric=meta["metric"]
-                )
-            elif xq.shape[0] * max(nprobe, 1) >= nlist:
-                from lotus_tpu.ops.ivf import ivf_search_grouped
-
-                dists, idx = ivf_search_grouped(
-                    state, jnp.asarray(xq), k_eff, nprobe=nprobe, metric=meta["metric"]
                 )
             else:
                 from lotus_tpu.ops.ivf import ivf_search

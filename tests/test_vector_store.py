@@ -144,15 +144,13 @@ def test_ivf_probe_path_small_batch(tmp_path, data):
     assert ref in got  # top-1's list is always probed
 
 
-def test_ivf_regime_planner_grouped_at_large_batch(tmp_path, data):
+def test_ivf_regime_planner_scans_at_large_batch(tmp_path, data):
     emb, queries = data
-    vs = TpuVS(index_type="ivf", nlist=16, nprobe=16)
+    vs = TpuVS(index_type="ivf", nlist=16, nprobe=8)
     vs.index([], emb, str(tmp_path / "ivf_plan"))
-    out = vs(queries, 10)  # 8 * 16 >= 16 -> grouped probe; nprobe == nlist -> exact
+    out = vs(queries, 10)  # 8 * 8 >= 16 -> exhaustive scan, exact results
     ref = brute_topk(emb, queries, 10)
-    got = np.asarray(out.indices)
-    for q in range(len(queries)):
-        assert set(got[q]) == set(ref[q])
+    assert (np.asarray(out.indices) == ref).mean() > 0.99
 
 
 def test_int8_store_recall(tmp_path, data):

@@ -10,6 +10,8 @@ This package is the engine that replaces the reference's faiss dependency
   coarse quantizer.
 - :mod:`lotus_tpu.ops.ivf` — IVF-Flat: coarse quantize, sorted CSR storage,
   probe kernels.
+- :mod:`lotus_tpu.ops.pallas_ivf` — Pallas grouped-probe kernel
+  (scalar-prefetched block DMA), the large-batch IVF fast path.
 - :mod:`lotus_tpu.ops.pairs` — tiled all-pairs kernels for ``sem_sim_join`` /
   ``sem_dedup``.
 """

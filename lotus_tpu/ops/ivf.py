@@ -36,8 +36,15 @@ def build_ivf(
     metric: str,
     train_iters: int = 10,
     seed: int = 0,
+    block_align: int | None = None,
 ) -> dict[str, Any]:
-    """Train the coarse quantizer, assign, sort, persist. Returns meta patch."""
+    """Train the coarse quantizer, assign, sort, persist. Returns meta patch.
+
+    With ``block_align`` set (e.g. 512), every list starts at a multiple of
+    that many rows and occupies whole blocks (zero rows / -1 ids pad each
+    list's tail) — the layout the Pallas grouped-probe kernel needs for
+    block-granularity DMA.
+    """
     n, d = emb.shape
     nlist = min(nlist, n)
     x = jnp.asarray(emb)
@@ -60,15 +67,35 @@ def build_ivf(
     assign = np.asarray(assign)
 
     order = np.argsort(assign, kind="stable")
-    sorted_vecs = emb[order]
-    row_ids = order.astype(np.int32)
     list_size = np.bincount(assign, minlength=nlist).astype(np.int32)
-    list_start = np.zeros(nlist, np.int32)
-    list_start[1:] = np.cumsum(list_size)[:-1]
     max_list = int(list_size.max()) if nlist > 0 else 0
 
+    if block_align:
+        padded_size = ((list_size + block_align - 1) // block_align) * block_align
+        padded_size = np.maximum(padded_size, block_align)
+        list_start = np.zeros(nlist, np.int32)
+        list_start[1:] = np.cumsum(padded_size)[:-1]
+        total = int(padded_size.sum())
+        sorted_vecs = np.zeros((total, d), np.float32)
+        row_ids = np.full(total, NO_HIT, np.int32)
+        src = 0
+        csum = np.zeros(nlist + 1, np.int64)
+        csum[1:] = np.cumsum(list_size)
+        for li in range(nlist):
+            s = int(list_size[li])
+            rows = order[csum[li] : csum[li] + s]
+            sorted_vecs[list_start[li] : list_start[li] + s] = emb[rows]
+            row_ids[list_start[li] : list_start[li] + s] = rows
+            src += s
+        window = max(block_align, int(((max_list + block_align - 1) // block_align) * block_align))
+    else:
+        sorted_vecs = emb[order]
+        row_ids = order.astype(np.int32)
+        list_start = np.zeros(nlist, np.int32)
+        list_start[1:] = np.cumsum(list_size)[:-1]
+        window = max(1, round_up(max_list, 8))
+
     # Pad storage so start + window never reads out of bounds.
-    window = max(1, round_up(max_list, 8))
     pad = window
     sorted_vecs = np.concatenate([sorted_vecs, np.zeros((pad, d), np.float32)])
     row_ids = np.concatenate([row_ids, np.full(pad, NO_HIT, np.int32)])
@@ -78,7 +105,12 @@ def build_ivf(
     index_io.write_array(index_dir, "ivf_row_ids", row_ids)
     index_io.write_array(index_dir, "ivf_list_start", list_start)
     index_io.write_array(index_dir, "ivf_list_size", list_size)
-    return {"nlist": int(nlist), "max_list_size": max_list, "probe_window": int(window)}
+    return {
+        "nlist": int(nlist),
+        "max_list_size": max_list,
+        "probe_window": int(window),
+        "block_align": int(block_align) if block_align else 0,
+    }
 
 
 def load_ivf_state(index_dir: str, meta: dict[str, Any], dtype: Any) -> dict[str, Any]:

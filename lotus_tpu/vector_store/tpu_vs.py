@@ -77,6 +77,8 @@ class TpuVS(VS):
         self.index_dir: str | None = None
         # Device-resident state for the currently loaded index.
         self._state: dict[str, Any] | None = None
+        # Run the Pallas probe in interpret mode (CPU testing only).
+        self._pallas_interpret = False
         # Observability: cumulative search statistics (stats-dict convention).
         self.stats: dict[str, Any] = {
             "searches": 0,
@@ -106,9 +108,16 @@ class TpuVS(VS):
         }
         if self.index_type == "ivf":
             from lotus_tpu.ops.ivf import build_ivf
+            from lotus_tpu.ops.pallas_ivf import BL as _PALLAS_BL
 
             nlist = self.nlist or max(1, int(np.sqrt(emb.shape[0])))
-            ivf_meta = build_ivf(index_dir, emb, nlist=nlist, metric=self.metric)
+            # Block-align lists when they are large enough that the padding
+            # is cheap (avg list >= one block): unlocks the Pallas grouped
+            # probe, the fastest large-batch path (docs/benchmarks.md).
+            block_align = _PALLAS_BL if emb.shape[0] >= _PALLAS_BL * nlist else None
+            ivf_meta = build_ivf(
+                index_dir, emb, nlist=nlist, metric=self.metric, block_align=block_align
+            )
             meta.update(ivf_meta)
         index_io.write_meta(index_dir, meta)
         self.index_dir = index_dir
@@ -215,20 +224,38 @@ class TpuVS(VS):
         # Regime-based planning for IVF (measured on v5e, docs/benchmarks.md):
         # - small batch: the window probe (latency-optimal; reads only the
         #   probed lists).
-        # - large batch (batch * nprobe >= nlist): the exhaustive
-        #   approx_max_k scan — it amortizes one database pass over the
-        #   batch and measured BOTH faster and more accurate than the
-        #   gather-bound grouped probe (87k vs 15k QPS at 1M x 768, equal
-        #   recall).  ivf_search_grouped stays available explicitly; making
-        #   it win needs Pallas scalar-prefetch block DMA (docs/roadmap.md).
+        # - large batch on a block-aligned index: the Pallas grouped probe
+        #   (scalar-prefetched block DMA) — faster AND more accurate than
+        #   the exhaustive approx scan (1M x 768, B=4096: ~101k QPS vs 87k).
+        # - large batch otherwise: the exhaustive approx_max_k scan, which
+        #   amortizes one database pass over the batch; the XLA grouped
+        #   probe (ivf_search_grouped) stays available explicitly but is
+        #   gather-bound (15k QPS at the same config).
         # - ids-restricted searches always use the masked scan.
         use_ivf = meta["kind"] == "ivf" and ids is None
+        use_pallas = False
         if use_ivf:
             nlist = int(meta.get("nlist", 1))
             nprobe_planned = int(kwargs.get("nprobe", self.nprobe))
             if xq.shape[0] * max(nprobe_planned, 1) >= nlist:
                 use_ivf = False
-        if use_ivf:
+                from lotus_tpu.ops.pallas_ivf import BL as _PALLAS_BL
+
+                use_pallas = (
+                    int(meta.get("block_align", 0)) == _PALLAS_BL
+                    and meta["metric"] != "l2"
+                    and "ivf_sharded" not in state
+                    and (jax.default_backend() == "tpu" or self._pallas_interpret)
+                )
+        if use_pallas:
+            from lotus_tpu.ops.pallas_ivf import ivf_search_pallas
+
+            nprobe = int(kwargs.get("nprobe", self.nprobe))
+            dists, idx = ivf_search_pallas(
+                state, jnp.asarray(xq), k_eff, nprobe=nprobe,
+                metric=meta["metric"], interpret=self._pallas_interpret,
+            )
+        elif use_ivf:
             nprobe = int(kwargs.get("nprobe", self.nprobe))
             if "ivf_sharded" in state:
                 from lotus_tpu.parallel import sharded_ivf_search

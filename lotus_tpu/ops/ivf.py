@@ -114,19 +114,35 @@ def build_ivf(
 
 
 def load_ivf_state(index_dir: str, meta: dict[str, Any], dtype: Any) -> dict[str, Any]:
-    if dtype == jnp.int8:
-        # Quantized IVF storage is not implemented yet (docs/roadmap.md); a
-        # raw int8 cast would truncate the floats. Fall back to bfloat16.
-        dtype = jnp.bfloat16
-    return {
+    state = {
         "centroids": jnp.asarray(index_io.read_array(index_dir, "ivf_centroids", mmap=False)),
-        "ivf_vectors": jnp.asarray(
-            np.asarray(index_io.read_array(index_dir, "ivf_vectors")), dtype=dtype
-        ),
         "ivf_row_ids": jnp.asarray(index_io.read_array(index_dir, "ivf_row_ids", mmap=False)),
         "ivf_list_start": jnp.asarray(index_io.read_array(index_dir, "ivf_list_start", mmap=False)),
         "ivf_list_size": jnp.asarray(index_io.read_array(index_dir, "ivf_list_size", mmap=False)),
     }
+    vecs = index_io.read_array(index_dir, "ivf_vectors")  # f32 mmap
+    if dtype == jnp.int8:
+        # Per-row symmetric quantization on the host, chunked so a 10M x 768
+        # store never needs a second float copy in RAM. Scores factor as
+        # qscale * rowscale * int8dot; rowscale rides along in the state.
+        n = vecs.shape[0]
+        q = np.empty(vecs.shape, np.int8)
+        scales = np.empty(n, np.float32)
+        step = 1 << 20
+        for s in range(0, n, step):
+            block = np.asarray(vecs[s : s + step], dtype=np.float32)
+            m = np.abs(block).max(axis=1)
+            sc = np.where(m > 0, m / 127.0, 1.0).astype(np.float32)
+            q[s : s + step] = np.clip(np.rint(block / sc[:, None]), -127, 127).astype(np.int8)
+            scales[s : s + step] = sc
+        state["ivf_vectors"] = jnp.asarray(q)
+        state["ivf_row_scales"] = jnp.asarray(scales)
+        if meta.get("metric") == "l2":
+            norms = (q.astype(np.float32) ** 2).sum(axis=1) * scales.astype(np.float64) ** 2
+            state["ivf_norms_sq"] = jnp.asarray(norms.astype(np.float32))
+    else:
+        state["ivf_vectors"] = jnp.asarray(np.asarray(vecs), dtype=dtype)
+    return state
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "window", "metric", "query_chunk"))
@@ -142,18 +158,24 @@ def _ivf_probe(
     window: int,
     metric: str,
     query_chunk: int,
+    row_scales: jnp.ndarray | None = None,
+    norms_sq: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     b, d = xq.shape
+    is_int8 = xb_sorted.dtype == jnp.int8
 
     # Coarse ranking: nearest nprobe centroids per query.
     _, probe_lists = flat_search(centroids, xq, nprobe, metric=metric)
 
     if metric == "l2":
-        xb_norms = jnp.sum(jnp.square(xb_sorted.astype(jnp.float32)), axis=-1)
+        # int8 stores ship precomputed norms; float stores derive them here.
+        xb_norms = norms_sq if norms_sq is not None else jnp.sum(
+            jnp.square(xb_sorted.astype(jnp.float32)), axis=-1
+        )
     else:
         xb_norms = None
 
-    if xq.dtype == jnp.bfloat16 or xb_sorted.dtype == jnp.bfloat16:
+    if is_int8 or xq.dtype == jnp.bfloat16 or xb_sorted.dtype == jnp.bfloat16:
         compute_dtype, precision = jnp.bfloat16, None
     else:
         compute_dtype, precision = jnp.float32, jax.lax.Precision.HIGHEST
@@ -176,6 +198,10 @@ def _ivf_probe(
             preferred_element_type=jnp.float32,
             precision=precision,
         )
+        if row_scales is not None:
+            # Dequantize at the score level: int8 rows factor their scale out
+            # of the dot product (cheaper than scaling the gathered slab).
+            sims = sims * row_scales[rows_flat]
         if metric == "l2":
             sims = 2.0 * sims - xb_norms[rows_flat]
         scores = jnp.where(in_list.reshape(qc, nprobe * window), sims, MASK_SCORE)
@@ -239,6 +265,8 @@ def ivf_search(
         window,
         metric,
         query_chunk,
+        state.get("ivf_row_scales"),
+        state.get("ivf_norms_sq"),
     )
     dists = as_distance(scores, metric)
     if metric == "l2":
@@ -410,6 +438,10 @@ def ivf_search_grouped(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Large-batch IVF search via the query-grouped probe."""
     meta = state["meta"]
+    if state["ivf_vectors"].dtype == jnp.int8:
+        raise NotImplementedError(
+            "int8 storage: use the Pallas grouped probe (ops/pallas_ivf.py)"
+        )
     nlist = int(meta["nlist"])
     window = int(meta["probe_window"])
     nprobe = max(1, min(nprobe, nlist))

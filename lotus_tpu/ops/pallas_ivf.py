@@ -39,42 +39,79 @@ BL = 512     # db rows per block (index must be built with block_align=BL)
 BUCKET = 8   # -> nbk = 64 candidates per (query, block)
 
 
-def _probe_kernel(qtab_ref, btab_ref, vtab_ref, xq_ref, xb_ref, out_s_ref, out_i_ref):
-    """One unit: (QU, d) x (BL, d)^T -> per-bucket (top-2, arg).
+def _bucket_top2_write(get_slice, base, out_s_ref, out_i_ref):
+    """Reduce BUCKET slices of (QU, nbk) scores to per-bucket (top-2, arg).
 
     Buckets are STRIDED (bucket b = cols {b + j*nbk}), so the reduction is a
     running max over BUCKET contiguous (QU, nbk) lane slices — no lane-dim
     reshape, which Mosaic handles poorly for trailing dims != 128.  Emitting
     the TOP-2 of each bucket turns the recall loss from pair collisions
     (~C(k,2)*BUCKET/list_rows, several points at IVF list sizes) into triple
-    collisions (negligible).
+    collisions (negligible).  ``get_slice(j)`` returns the masked f32 scores
+    for db rows [j*nbk, (j+1)*nbk) of the block.
     """
     nbk = BL // BUCKET
-    scores = jnp.dot(xq_ref[:], xb_ref[:].T, preferred_element_type=jnp.float32)  # (QU, BL)
-    u = pl.program_id(0)
-    vcount = vtab_ref[u]  # live rows in this block (0 for padded units)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (QU, BL), 1)
-    scores = jnp.where(col_ids < vcount, scores, MASK_SCORE)
-
-    best_s = scores[:, :nbk]
+    best_s = get_slice(0)
     best_j = jnp.zeros((QU, nbk), jnp.int32)
     sec_s = jnp.full((QU, nbk), MASK_SCORE, jnp.float32)
     sec_j = jnp.zeros((QU, nbk), jnp.int32)
     for j in range(1, BUCKET):
-        sl = scores[:, j * nbk : (j + 1) * nbk]
+        sl = get_slice(j)
         upd = sl > best_s
         sec2 = jnp.where(upd, best_s, jnp.maximum(sec_s, sl))
         sec_j = jnp.where(upd, best_j, jnp.where(sl > sec_s, j, sec_j))
         sec_s = sec2
         best_s = jnp.where(upd, sl, best_s)
         best_j = jnp.where(upd, j, best_j)
-    base = btab_ref[u] * BL
     lane = jax.lax.broadcasted_iota(jnp.int32, (QU, nbk), 1)
     # (QU, 2*nbk) = (128, 128): legal output tile, no in-kernel transpose.
     out_s_ref[0] = jnp.concatenate([best_s, sec_s], axis=1)
     out_i_ref[0] = jnp.concatenate(
         [base + best_j * nbk + lane, base + sec_j * nbk + lane], axis=1
     )
+
+
+def _slice_mask(j, vcount):
+    nbk = BL // BUCKET
+    cols = j * nbk + jax.lax.broadcasted_iota(jnp.int32, (QU, nbk), 1)
+    return cols < vcount
+
+
+def _probe_kernel(qtab_ref, btab_ref, vtab_ref, xq_ref, xb_ref, out_s_ref, out_i_ref):
+    """One unit: (QU, d) x (BL, d)^T -> per-bucket (top-2, arg)."""
+    nbk = BL // BUCKET
+    scores = jnp.dot(xq_ref[:], xb_ref[:].T, preferred_element_type=jnp.float32)  # (QU, BL)
+    u = pl.program_id(0)
+    vcount = vtab_ref[u]
+
+    def get_slice(j):
+        sl = scores[:, j * nbk : (j + 1) * nbk]
+        return jnp.where(_slice_mask(j, vcount), sl, MASK_SCORE)
+
+    _bucket_top2_write(get_slice, btab_ref[u] * BL, out_s_ref, out_i_ref)
+
+
+def _probe_kernel_int8(qtab_ref, btab_ref, vtab_ref, xq_ref, xb_ref, sc_ref, out_s_ref, out_i_ref):
+    """int8 unit: int8 MXU dot, then dequantize by the rows' scales.
+
+    ``sc_ref`` block is (1, BUCKET, nbk): scale row j holds the scales of db
+    rows [j*nbk, (j+1)*nbk), exactly the bucket-loop slice — so dequantizing
+    is a (nbk,)-lane broadcast per slice and the scales array never needs a
+    (1, BL) block (which would violate the (8, 128) tile rule).
+
+    Query scales are per-query constants, so they don't affect ranking and
+    are applied outside the kernel (after the final top-k).
+    """
+    nbk = BL // BUCKET
+    idot = jnp.dot(xq_ref[:], xb_ref[:].T, preferred_element_type=jnp.int32)  # (QU, BL)
+    u = pl.program_id(0)
+    vcount = vtab_ref[u]
+
+    def get_slice(j):
+        sl = idot[:, j * nbk : (j + 1) * nbk].astype(jnp.float32) * sc_ref[0, j][None, :]
+        return jnp.where(_slice_mask(j, vcount), sl, MASK_SCORE)
+
+    _bucket_top2_write(get_slice, btab_ref[u] * BL, out_s_ref, out_i_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "max_blocks", "metric", "interpret"))
@@ -85,6 +122,7 @@ def _grouped_probe_pallas(
     list_start: jnp.ndarray,
     list_size: jnp.ndarray,
     xq: jnp.ndarray,
+    row_scales: jnp.ndarray | None,
     k: int,
     nprobe: int,
     max_blocks: int,
@@ -95,8 +133,17 @@ def _grouped_probe_pallas(
     nlist = list_start.shape[0]
     p = b * nprobe
     nbk = BL // BUCKET
+    is_int8 = xb_sorted.dtype == jnp.int8
 
+    # Coarse ranking always uses the float queries.
     _, probe_lists = flat_search(centroids, xq, nprobe, metric=metric)
+
+    if is_int8:
+        from lotus_tpu.ops.quant import quantize_rows
+
+        xq_store, q_scales = quantize_rows(xq)  # int8 queries + per-query scale
+    else:
+        xq_store, q_scales = xq, None
 
     # ---- sorted pair table -------------------------------------------------
     q_ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nprobe)
@@ -129,7 +176,7 @@ def _grouped_probe_pallas(
     rank = pair_pos - pair_start[sl]
     padpos = (chunk_base[sl] + rank // QU) * QU + rank % QU    # (P,)
     sq_full = jnp.full((n_chunks_max * QU,), b, jnp.int32).at[padpos].set(sq)
-    xq_pad = jnp.concatenate([xq, jnp.zeros((1, d), xq.dtype)])
+    xq_pad = jnp.concatenate([xq_store, jnp.zeros((1, d), xq_store.dtype)])
     xq_units = xq_pad[sq_full]                                  # (chunks*QU, d)
 
     # ---- per-unit scalar tables --------------------------------------------
@@ -158,20 +205,34 @@ def _grouped_probe_pallas(
     xb_blocks = xb_sorted  # (rows, d), rows % BL == 0 (+ window padding)
 
     ncand = 2 * nbk  # top-2 per bucket
+    in_specs = [
+        pl.BlockSpec((QU, d), lambda u, qt, bt, vt: (qt[u], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BL, d), lambda u, qt, bt, vt: (bt[u], 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [xq_units.astype(xb_blocks.dtype), xb_blocks]
+    kernel = _probe_kernel
+    if is_int8:
+        # (nblocks, BUCKET, nbk): full trailing dims per block (tile-legal).
+        in_specs.append(
+            pl.BlockSpec(
+                (1, BUCKET, BL // BUCKET),
+                lambda u, qt, bt, vt: (bt[u], 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(row_scales.reshape(-1, BUCKET, BL // BUCKET))
+        kernel = _probe_kernel_int8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(u_max,),
-        in_specs=[
-            pl.BlockSpec((QU, d), lambda u, qt, bt, vt: (qt[u], 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BL, d), lambda u, qt, bt, vt: (bt[u], 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, QU, ncand), lambda u, qt, bt, vt: (u, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, QU, ncand), lambda u, qt, bt, vt: (u, 0, 0), memory_space=pltpu.VMEM),
         ),
     )
     cand_s, cand_i = pl.pallas_call(
-        _probe_kernel,
+        kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((u_max, QU, ncand), jnp.float32),
@@ -183,22 +244,26 @@ def _grouped_probe_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qtab, btab, vtab, xq_units.astype(xb_blocks.dtype), xb_blocks)
+    )(qtab, btab, vtab, *operands)
 
     # ---- reassemble per pair ----------------------------------------------
-    # For chunk c, its candidate units are utab[c] (max_blocks of them).
-    # (No per-unit top-k reduce here: an exact lax.top_k over u_max*QU rows
-    # measured 6x slower than just moving the full candidate pool.)
-    unit_sel = jnp.maximum(utab, 0)                       # (chunks, max_blocks)
-    sel_valid = utab >= 0
-    ch_s = cand_s[unit_sel]                               # (chunks, mb, QU, ncand)
-    ch_i = cand_i[unit_sel]
-    ch_s = jnp.where(sel_valid[:, :, None, None], ch_s, MASK_SCORE)
-    ch_s = jnp.moveaxis(ch_s, 2, 1).reshape(n_chunks_max * QU, max_blocks * ncand)
-    ch_i = jnp.moveaxis(ch_i, 2, 1).reshape(n_chunks_max * QU, max_blocks * ncand)
-
-    pool_s = ch_s[padpos]                                 # (P, mb*ncand)
-    pool_i = ch_i[padpos]
+    # Pair p lives at (chunk, lane) = divmod(padpos[p], QU); its candidates
+    # are rows (utab[chunk] * QU + lane) of the flattened kernel output — a
+    # direct (P, max_blocks)-row gather of 512-byte rows.  (Two rejected
+    # alternatives, both measured slower: a chunk-major intermediate gather
+    # moves max_blocks/avg_blocks more data plus a transpose; a per-unit
+    # exact top-k reduce costs a u_max*QU-row sort.)
+    cidx = padpos // QU                                   # (P,)
+    lpos = padpos % QU
+    usel = utab[cidx]                                     # (P, mb); -1 = no block
+    rowsel = jnp.maximum(usel, 0) * QU + lpos[:, None]
+    flat_s = cand_s.reshape(u_max * QU, ncand)
+    flat_i = cand_i.reshape(u_max * QU, ncand)
+    pool_s = flat_s[rowsel]                               # (P, mb, ncand)
+    pool_i = flat_i[rowsel]
+    pool_s = jnp.where(usel[:, :, None] >= 0, pool_s, MASK_SCORE)
+    pool_s = pool_s.reshape(p, max_blocks * ncand)
+    pool_i = pool_i.reshape(p, max_blocks * ncand)
 
     # Route back to (query, probe slot) and merge.
     kc = max_blocks * ncand
@@ -212,6 +277,9 @@ def _grouped_probe_pallas(
     top_rows = jnp.take_along_axis(cand_i, pos, axis=1)
     top_i = row_ids[top_rows]
     top_i = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_i)
+    if q_scales is not None:
+        # Per-query dequantization constant; rank-neutral, so applied last.
+        top_s = jnp.where(top_i == NO_HIT, top_s, top_s * q_scales[:, None])
     if k_out < k:
         padn = k - k_out
         top_s = jnp.concatenate([top_s, jnp.full((b, padn), MASK_SCORE)], axis=1)
@@ -260,6 +328,7 @@ def ivf_search_pallas(
         state["ivf_list_start"],
         state["ivf_list_size"],
         xq,
+        state.get("ivf_row_scales"),
         k,
         nprobe,
         max_blocks,

@@ -122,6 +122,58 @@ def test_small_index_build_not_block_aligned(tmp_path):
     assert (np.asarray(out.indices)[:, 0] == np.arange(4)).all()
 
 
+def test_pallas_probe_int8_storage(tmp_path):
+    emb, state_f32 = _build(tmp_path, n=16384, nlist=8, seed=6)
+    idx_dir = str(tmp_path / "pallas_ivf")
+    state = load_ivf_state(idx_dir, state_f32["meta"], jnp.int8)
+    state["meta"] = state_f32["meta"]
+    assert state["ivf_vectors"].dtype == jnp.int8
+    assert "ivf_row_scales" in state
+
+    rng = np.random.default_rng(8)
+    q_rows = rng.integers(0, len(emb), 32)
+    xq = jnp.asarray(emb[q_rows] + 0.02 * rng.standard_normal((32, emb.shape[1])).astype(np.float32))
+
+    d_f, i_f = ivf_search_pallas(state_f32, xq, 10, nprobe=4, metric="ip", interpret=True)
+    d_q, i_q = ivf_search_pallas(state, xq, 10, nprobe=4, metric="ip", interpret=True)
+    i_f, i_q = np.asarray(i_f), np.asarray(i_q)
+    # int8 quantization perturbs near-tied neighbours but not the set much.
+    overlap = np.mean([len(set(i_q[r]) & set(i_f[r])) / 10 for r in range(32)])
+    assert overlap >= 0.9, overlap
+    assert (i_q[:, 0] == i_f[:, 0]).mean() >= 0.95
+    # Dequantized distances approximate the float ones.
+    np.testing.assert_allclose(np.asarray(d_q)[:, 0], np.asarray(d_f)[:, 0], rtol=0.05, atol=0.05)
+
+
+def test_window_probe_int8_storage(tmp_path):
+    from lotus_tpu.ops.ivf import ivf_search
+
+    emb, state_f32 = _build(tmp_path, n=8192, nlist=8, seed=12)
+    idx_dir = str(tmp_path / "pallas_ivf")
+    state = load_ivf_state(idx_dir, state_f32["meta"], jnp.int8)
+    state["meta"] = state_f32["meta"]
+
+    rng = np.random.default_rng(13)
+    xq = jnp.asarray(emb[rng.integers(0, len(emb), 16)])
+    _, i_f = ivf_search(state_f32, xq, 5, nprobe=8, metric="ip")
+    _, i_q = ivf_search(state, xq, 5, nprobe=8, metric="ip")
+    assert (np.asarray(i_q)[:, 0] == np.asarray(i_f)[:, 0]).all()
+    overlap = np.mean([
+        len(set(np.asarray(i_q)[r]) & set(np.asarray(i_f)[r])) / 5 for r in range(16)
+    ])
+    assert overlap >= 0.9
+
+
+def test_grouped_probe_rejects_int8(tmp_path):
+    from lotus_tpu.ops.ivf import ivf_search_grouped
+
+    emb, state_f32 = _build(tmp_path, n=4096, nlist=4, seed=14)
+    state = load_ivf_state(str(tmp_path / "pallas_ivf"), state_f32["meta"], jnp.int8)
+    state["meta"] = state_f32["meta"]
+    with pytest.raises(NotImplementedError):
+        ivf_search_grouped(state, jnp.asarray(emb[:4]), 5, nprobe=2, metric="ip")
+
+
 def test_pallas_probe_l2_not_supported(tmp_path):
     rng = np.random.default_rng(5)
     emb = rng.standard_normal((2048, 32)).astype(np.float32)

@@ -1,0 +1,175 @@
+"""10M x 768 int8 IVF on one v5e chip: build + Pallas probe bench.
+
+Honest build: k-means trained on a 1M subsample on device, all 10M rows
+assigned on device from int8 storage, block-aligned CSR packed on host.
+Recall is measured against EXACT search over the same quantized store
+(isolates IVF loss; the int8-vs-f32 quantization cost is known separately:
+~1.6 points at this scale, see docs/benchmarks.md).
+"""
+import json
+import os
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+import jax.numpy as jnp
+
+from lotus_tpu.ops.flat import flat_search
+from lotus_tpu.ops.kmeans import kmeans_fit
+from lotus_tpu.ops.pallas_ivf import BL, ivf_search_pallas
+
+N, D, NLIST, B, K, NPROBE = 10_000_000, 768, 4096, 4096, 10, 16
+CACHE = "/tmp/ivf10m"
+os.makedirs(CACHE, exist_ok=True)
+rng = np.random.default_rng(0)
+
+# ---- generate + quantize on host, chunked --------------------------------
+t0 = time.time()
+if not os.path.exists(f"{CACHE}/q.npy"):
+    centers = (rng.standard_normal((NLIST, D)) * 2.5).astype(np.float32)
+    q8 = np.lib.format.open_memmap(f"{CACHE}/q.npy", mode="w+", dtype=np.int8, shape=(N, D))
+    scales = np.empty(N, np.float32)
+    train = np.empty((1_048_576, D), np.float32)
+    tfill = 0
+    step = 1 << 19
+    for s in range(0, N, step):
+        e = min(s + step, N)
+        blk = centers[rng.integers(0, NLIST, e - s)] + rng.standard_normal((e - s, D)).astype(np.float32)
+        blk /= np.linalg.norm(blk, axis=1, keepdims=True)
+        m = np.abs(blk).max(axis=1)
+        sc = np.where(m > 0, m / 127.0, 1.0).astype(np.float32)
+        q8[s:e] = np.clip(np.rint(blk / sc[:, None]), -127, 127).astype(np.int8)
+        scales[s:e] = sc
+        take = min(len(train) - tfill, (e - s) // 10)
+        if take > 0:
+            train[tfill : tfill + take] = blk[:take]
+            tfill += take
+        if s == 0:  # queries from the first chunk (f32, pre-quantization)
+            qi = rng.integers(0, e - s, B)
+            xq_np = blk[qi] + 0.05 * rng.standard_normal((B, D)).astype(np.float32)
+            xq_np /= np.linalg.norm(xq_np, axis=1, keepdims=True)
+            np.save(f"{CACHE}/xq.npy", xq_np)
+    np.save(f"{CACHE}/scales.npy", scales)
+    np.save(f"{CACHE}/train.npy", train[:tfill])
+    print(f"gen+quant: {time.time()-t0:.0f}s", flush=True)
+q8 = np.load(f"{CACHE}/q.npy", mmap_mode="r")
+scales = np.load(f"{CACHE}/scales.npy")
+xq_np = np.load(f"{CACHE}/xq.npy")
+train = np.load(f"{CACHE}/train.npy")
+
+# ---- train coarse quantizer on device -------------------------------------
+t0 = time.time()
+if not os.path.exists(f"{CACHE}/centroids.npy"):
+    res = kmeans_fit(jnp.asarray(train), NLIST, iters=8, metric="l2", spherical=True,
+                     key=jax.random.PRNGKey(0))
+    np.save(f"{CACHE}/centroids.npy", np.asarray(res.centroids, np.float32))
+    print(f"kmeans train: {time.time()-t0:.0f}s", flush=True)
+centroids = np.load(f"{CACHE}/centroids.npy")
+
+# ---- assign all rows on device from int8 ----------------------------------
+t0 = time.time()
+if not os.path.exists(f"{CACHE}/assign.npy"):
+    cen = jnp.asarray(centroids, jnp.bfloat16)
+    assign = np.empty(N, np.int32)
+    step = 1 << 20
+    for s in range(0, N, step):
+        e = min(s + step, N)
+        blk = jnp.asarray(q8[s:e], jnp.bfloat16) * jnp.asarray(scales[s:e])[:, None]
+        _, top1 = flat_search(cen, blk, 1, metric="ip")
+        assign[s:e] = np.asarray(top1[:, 0], np.int32)
+    np.save(f"{CACHE}/assign.npy", assign)
+    print(f"assign: {time.time()-t0:.0f}s", flush=True)
+assign = np.load(f"{CACHE}/assign.npy")
+
+# ---- pack block-aligned CSR on host ----------------------------------------
+t0 = time.time()
+if not os.path.exists(f"{CACHE}/sorted_q.npy"):
+    order = np.argsort(assign, kind="stable")
+    list_size = np.bincount(assign, minlength=NLIST).astype(np.int32)
+    padded = np.maximum(((list_size + BL - 1) // BL) * BL, BL)
+    list_start = np.zeros(NLIST, np.int32)
+    list_start[1:] = np.cumsum(padded)[:-1]
+    max_list = int(list_size.max())
+    window = max(BL, ((max_list + BL - 1) // BL) * BL)
+    total = int(padded.sum()) + window
+    sq = np.lib.format.open_memmap(f"{CACHE}/sorted_q.npy", mode="w+", dtype=np.int8, shape=(total, D))
+    ssc = np.zeros(total, np.float32)
+    rid = np.full(total, -1, np.int32)
+    csum = np.zeros(NLIST + 1, np.int64)
+    csum[1:] = np.cumsum(list_size)
+    for li in range(NLIST):
+        sz = int(list_size[li])
+        rows = order[csum[li] : csum[li] + sz]
+        st = int(list_start[li])
+        sq[st : st + sz] = q8[rows]
+        ssc[st : st + sz] = scales[rows]
+        rid[st : st + sz] = rows
+    np.save(f"{CACHE}/sorted_scales.npy", ssc)
+    np.save(f"{CACHE}/row_ids.npy", rid)
+    np.save(f"{CACHE}/list_start.npy", list_start)
+    np.save(f"{CACHE}/list_size.npy", list_size)
+    json.dump({"window": window, "max_list": max_list}, open(f"{CACHE}/m.json", "w"))
+    print(f"pack: {time.time()-t0:.0f}s", flush=True)
+m = json.load(open(f"{CACHE}/m.json"))
+sorted_q = np.load(f"{CACHE}/sorted_q.npy", mmap_mode="r")
+
+# ---- device state -----------------------------------------------------------
+t0 = time.time()
+state = {
+    "meta": {"kind": "ivf", "metric": "ip", "nlist": NLIST, "block_align": BL,
+             "probe_window": m["window"], "max_list_size": m["max_list"]},
+    "centroids": jnp.asarray(centroids),
+    "ivf_vectors": jnp.asarray(np.asarray(sorted_q)),
+    "ivf_row_scales": jnp.asarray(np.load(f"{CACHE}/sorted_scales.npy")),
+    "ivf_row_ids": jnp.asarray(np.load(f"{CACHE}/row_ids.npy")),
+    "ivf_list_start": jnp.asarray(np.load(f"{CACHE}/list_start.npy")),
+    "ivf_list_size": jnp.asarray(np.load(f"{CACHE}/list_size.npy")),
+}
+rows = state["ivf_vectors"].shape[0]
+print(f"device load: {time.time()-t0:.0f}s rows={rows} ({rows*D/1e9:.1f} GB int8, "
+      f"window={m['window']})", flush=True)
+xq = jnp.asarray(xq_np)
+
+# ---- exact oracle over the quantized store (sorted order, mapped back) -----
+t0 = time.time()
+if not os.path.exists(f"{CACHE}/i_ex.npy"):
+    _, i_sorted = flat_search(
+        state["ivf_vectors"], xq, K, metric="ip", xb_scales=state["ivf_row_scales"]
+    )
+    i_ex = np.asarray(state["ivf_row_ids"])[np.asarray(i_sorted)]
+    np.save(f"{CACHE}/i_ex.npy", i_ex)
+    print(f"oracle: {time.time()-t0:.0f}s", flush=True)
+i_ex = np.load(f"{CACHE}/i_ex.npy")
+
+
+def rec(i_got):
+    i_got = np.asarray(i_got)
+    return float(np.mean([len(set(i_got[i]) & set(i_ex[i])) / K for i in range(B)]))
+
+
+def time_chained(fn, iters=10, trials=3):
+    best = float("inf")
+    for _ in range(trials):
+        q = xq
+        t0 = time.time()
+        for _ in range(iters):
+            d, _ = fn(q)
+            q = xq + 0.0 * d[:, :1]
+        float(jnp.sum(d[:, 0]))
+        best = min(best, (time.time() - t0) / iters)
+    return best
+
+
+for nprobe in (16, 32):
+    fn = lambda q, np_=nprobe: ivf_search_pallas(state, q, K, nprobe=np_, metric="ip")
+    t0 = time.time()
+    _, i_pl = fn(xq)
+    print(f"nprobe={nprobe} first call {time.time()-t0:.0f}s", flush=True)
+    r = rec(i_pl)
+    t = time_chained(fn)
+    print(json.dumps({"n": N, "nprobe": nprobe, "qps": round(B / t, 1),
+                      "recall_vs_exact_store": round(r, 4)}), flush=True)

@@ -36,6 +36,8 @@ def shard_ivf_state(state: dict[str, Any], mesh: Mesh, axis_name: str = SHARD_AX
     sizes = np.asarray(state["ivf_list_size"])
     vectors = np.asarray(state["ivf_vectors"])
     row_ids = np.asarray(state["ivf_row_ids"])
+    scales = np.asarray(state["ivf_row_scales"]) if "ivf_row_scales" in state else None
+    norms = np.asarray(state["ivf_norms_sq"]) if "ivf_norms_sq" in state else None
     nlist = len(sizes)
 
     # Contiguous list ranges with balanced row counts.
@@ -68,7 +70,7 @@ def shard_ivf_state(state: dict[str, Any], mesh: Mesh, axis_name: str = SHARD_AX
         if hi > lo:
             local_start[lo:hi] = starts[lo:hi] - row_lo
             owned[lo:hi] = True
-        per_dev.append((vecs, ids, local_start, owned))
+        per_dev.append((row_lo, row_hi, vecs, ids, local_start, owned))
         max_rows = max(max_rows, len(vecs))
 
     max_rows = round_up(max_rows + window, 8)  # window overshoot room
@@ -76,24 +78,36 @@ def shard_ivf_state(state: dict[str, Any], mesh: Mesh, axis_name: str = SHARD_AX
     stacked_ids = np.full((n_dev, max_rows), NO_HIT, np.int32)
     stacked_start = np.zeros((n_dev, nlist), np.int32)
     stacked_owned = np.zeros((n_dev, nlist), bool)
-    for d, (vecs, ids, local_start, owned) in enumerate(per_dev):
+    stacked_scales = np.zeros((n_dev, max_rows), np.float32) if scales is not None else None
+    stacked_norms = np.zeros((n_dev, max_rows), np.float32) if norms is not None else None
+    for d, (row_lo, row_hi, vecs, ids, local_start, owned) in enumerate(per_dev):
         stacked_vecs[d, : len(vecs)] = vecs
         stacked_ids[d, : len(ids)] = ids
         stacked_start[d] = local_start
         stacked_owned[d] = owned
+        if stacked_scales is not None:
+            stacked_scales[d, : row_hi - row_lo] = scales[row_lo:row_hi]
+        if stacked_norms is not None:
+            stacked_norms[d, : row_hi - row_lo] = norms[row_lo:row_hi]
 
     shard = NamedSharding(mesh, P(axis_name))
-    return {
+    row_shard = NamedSharding(mesh, P(axis_name, None))
+    out = {
         "meta": state["meta"],
         "centroids": state["centroids"],  # replicated
         "vecs": jax.device_put(jnp.asarray(stacked_vecs), NamedSharding(mesh, P(axis_name, None, None))),
-        "row_ids": jax.device_put(jnp.asarray(stacked_ids), NamedSharding(mesh, P(axis_name, None))),
-        "list_start": jax.device_put(jnp.asarray(stacked_start), NamedSharding(mesh, P(axis_name, None))),
-        "owned": jax.device_put(jnp.asarray(stacked_owned), shard if stacked_owned.ndim == 1 else NamedSharding(mesh, P(axis_name, None))),
+        "row_ids": jax.device_put(jnp.asarray(stacked_ids), row_shard),
+        "list_start": jax.device_put(jnp.asarray(stacked_start), row_shard),
+        "owned": jax.device_put(jnp.asarray(stacked_owned), shard if stacked_owned.ndim == 1 else row_shard),
         "list_size": state["ivf_list_size"],  # replicated
         "mesh": mesh,
         "axis_name": axis_name,
     }
+    if stacked_scales is not None:
+        out["scales"] = jax.device_put(jnp.asarray(stacked_scales), row_shard)
+    if stacked_norms is not None:
+        out["norms"] = jax.device_put(jnp.asarray(stacked_norms), row_shard)
+    return out
 
 
 def sharded_ivf_search(
@@ -123,8 +137,13 @@ def sharded_ivf_search(
     list_size = sharded["list_size"]
     offsets = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0).squeeze(-1)
 
-    def local_probe(vecs, row_ids, list_start, owned, xq_rep):
+    has_scales = "scales" in sharded
+    has_norms = "norms" in sharded
+
+    def local_probe(vecs, row_ids, list_start, owned, xq_rep, *extra):
         vecs, row_ids, list_start, owned = vecs[0], row_ids[0], list_start[0], owned[0]
+        scales = extra[0][0] if has_scales else None
+        shard_norms = extra[-1][0] if has_norms else None
         _, probe_lists = flat_search(centroids, xq_rep, nprobe, metric=metric)
 
         starts = list_start[probe_lists]  # (B, nprobe) local offsets
@@ -135,7 +154,7 @@ def sharded_ivf_search(
         rows_flat = rows.reshape(b, nprobe * window)
         gathered = vecs[rows_flat]
 
-        if xq_rep.dtype == jnp.bfloat16 or vecs.dtype == jnp.bfloat16:
+        if vecs.dtype == jnp.int8 or xq_rep.dtype == jnp.bfloat16 or vecs.dtype == jnp.bfloat16:
             cd, prec = jnp.bfloat16, None
         else:
             cd, prec = jnp.float32, jax.lax.Precision.HIGHEST
@@ -143,8 +162,12 @@ def sharded_ivf_search(
             "qd,qnd->qn", xq_rep.astype(cd), gathered.astype(cd),
             preferred_element_type=jnp.float32, precision=prec,
         )
+        if scales is not None:
+            sims = sims * scales[rows_flat]
         if metric == "l2":
-            norms = jnp.sum(jnp.square(vecs.astype(jnp.float32)), axis=-1)
+            norms = shard_norms if shard_norms is not None else jnp.sum(
+                jnp.square(vecs.astype(jnp.float32)), axis=-1
+            )
             sims = 2.0 * sims - norms[rows_flat]
         scores = jnp.where(in_list.reshape(b, nprobe * window), sims, MASK_SCORE)
         kc = min(k, nprobe * window)
@@ -163,15 +186,23 @@ def sharded_ivf_search(
         fs, pos2 = jax.lax.top_k(cand_s, k)
         return fs, jnp.take_along_axis(cand_i, pos2, axis=1)
 
+    in_specs = [
+        P(axis_name, None, None), P(axis_name, None),
+        P(axis_name, None), P(axis_name, None), P(),
+    ]
+    operands = [sharded["vecs"], sharded["row_ids"], sharded["list_start"], sharded["owned"], xq]
+    if has_scales:
+        in_specs.append(P(axis_name, None))
+        operands.append(sharded["scales"])
+    if has_norms:
+        in_specs.append(P(axis_name, None))
+        operands.append(sharded["norms"])
     fn = jax.shard_map(
         local_probe, mesh=mesh,
-        in_specs=(
-            P(axis_name, None, None), P(axis_name, None),
-            P(axis_name, None), P(axis_name, None), P(),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=(P(), P()), check_vma=False,
     )
-    top_s, top_i = fn(sharded["vecs"], sharded["row_ids"], sharded["list_start"], sharded["owned"], xq)
+    top_s, top_i = fn(*operands)
 
     dists = as_distance(top_s, metric)
     if metric == "l2":

@@ -143,12 +143,7 @@ class TpuVS(VS):
         if meta["kind"] == "ivf":
             from lotus_tpu.ops.ivf import load_ivf_state
 
-            ivf_dtype = dtype
-            if dtype == jnp.int8 and self.mesh is not None and len(self.mesh.devices.flat) > 1:
-                # The sharded IVF path has no scale plumbing yet; bf16 keeps
-                # the HBM saving without silent score corruption.
-                ivf_dtype = jnp.bfloat16
-            state.update(load_ivf_state(self.index_dir, meta, ivf_dtype))
+            state.update(load_ivf_state(self.index_dir, meta, dtype))
             if self.mesh is not None and len(self.mesh.devices.flat) > 1:
                 from lotus_tpu.parallel import shard_ivf_state
 

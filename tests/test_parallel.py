@@ -130,6 +130,38 @@ def test_sharded_ivf_partial_probe(mesh, tmp_path):
     assert all(q in got[q] for q in range(b))
 
 
+def test_sharded_ivf_int8_matches_float(mesh, tmp_path):
+    import jax.numpy as jnp
+
+    from lotus_tpu.ops.ivf import build_ivf, load_ivf_state
+    from lotus_tpu.parallel.ivf import shard_ivf_state, sharded_ivf_search
+
+    rng = np.random.default_rng(7)
+    n, d, b, k = 2000, 32, 6, 5
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:b] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+
+    idx_dir = str(tmp_path / "ivf8")
+    meta = {"kind": "ivf", "metric": "ip", **build_ivf(idx_dir, emb, nlist=16, metric="ip")}
+    state_f = load_ivf_state(idx_dir, meta, jnp.float32)
+    state_f["meta"] = meta
+    state_q = load_ivf_state(idx_dir, meta, jnp.int8)
+    state_q["meta"] = meta
+    assert state_q["ivf_vectors"].dtype == jnp.int8
+
+    sh_f = shard_ivf_state(state_f, mesh)
+    sh_q = shard_ivf_state(state_q, mesh)
+    assert "scales" in sh_q and "scales" not in sh_f
+
+    _, i_f = sharded_ivf_search(sh_f, jnp.asarray(queries), k, nprobe=16, metric="ip")
+    d_q, i_q = sharded_ivf_search(sh_q, jnp.asarray(queries), k, nprobe=16, metric="ip")
+    i_f, i_q = np.asarray(i_f), np.asarray(i_q)
+    assert (i_q[:, 0] == i_f[:, 0]).all()
+    overlap = np.mean([len(set(i_q[r]) & set(i_f[r])) / k for r in range(b)])
+    assert overlap >= 0.9
+
+
 def test_sharded_int8_store(mesh, tmp_path):
     # Review finding: int8 + mesh used to crash (scales never reached the
     # sharded kernel).

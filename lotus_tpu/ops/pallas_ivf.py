@@ -10,10 +10,14 @@ as a real DMA.
 
 Work decomposition (all static):
   unit u = (query chunk of QU pairs of one list, one BL-row block of it)
-  U_max  = (ceil(B*nprobe/QU) + nlist) * max_blocks_per_list
-Each grid step runs one (QU x BL) MXU matmul and reduces it to per-bucket
-(max, argmax) candidates — the TPU-KNN trick — written per unit; XLA then
-routes candidates back to (query, probe slot) and top-k's.
+  u_max  = max_blocks * (B*nprobe // QU) + rows // BL   (proved in-line)
+Each grid step runs one (QU x BL) MXU matmul (int8 or float) and reduces it
+to per-bucket top-2 candidates — the TPU-KNN bucket trick (arXiv:2206.14286)
+with a second survivor so pair collisions cost ~nothing; XLA then routes
+candidates back to (query, probe slot) with a direct per-pair gather and
+top-k's.  Fills the large-batch half of faiss IVF-Flat's role
+(reference: lotus/vector_store/faiss_vs.py + BASELINE.md config 4); the
+window probe in ops/ivf.py covers the small-batch half.
 
 Requires an index built with ``build_ivf(..., block_align=BL)``.
 """
@@ -201,7 +205,7 @@ def _grouped_probe_pallas(
     utab = utab[:n_chunks_max]
 
     # Pad query tiles with one dummy tile for parked units.
-    xq_units = jnp.concatenate([xq_units, jnp.zeros((QU, d), xq.dtype)])
+    xq_units = jnp.concatenate([xq_units, jnp.zeros((QU, d), xq_store.dtype)])
     xb_blocks = xb_sorted  # (rows, d), rows % BL == 0 (+ window padding)
 
     ncand = 2 * nbk  # top-2 per bucket

@@ -29,7 +29,7 @@ rng = np.random.default_rng(0)
 
 # ---- generate + quantize on host, chunked --------------------------------
 t0 = time.time()
-if not os.path.exists(f"{CACHE}/q.npy"):
+if not os.path.exists(f"{CACHE}/train.npy"):  # written last in this stage
     centers = (rng.standard_normal((NLIST, D)) * 2.5).astype(np.float32)
     q8 = np.lib.format.open_memmap(f"{CACHE}/q.npy", mode="w+", dtype=np.int8, shape=(N, D))
     scales = np.empty(N, np.float32)
@@ -38,7 +38,7 @@ if not os.path.exists(f"{CACHE}/q.npy"):
     step = 1 << 19
     for s in range(0, N, step):
         e = min(s + step, N)
-        blk = centers[rng.integers(0, NLIST, e - s)] + rng.standard_normal((e - s, D)).astype(np.float32)
+        blk = centers[rng.integers(0, NLIST, e - s)] + rng.standard_normal((e - s, D), dtype=np.float32)
         blk /= np.linalg.norm(blk, axis=1, keepdims=True)
         m = np.abs(blk).max(axis=1)
         sc = np.where(m > 0, m / 127.0, 1.0).astype(np.float32)
@@ -50,7 +50,7 @@ if not os.path.exists(f"{CACHE}/q.npy"):
             tfill += take
         if s == 0:  # queries from the first chunk (f32, pre-quantization)
             qi = rng.integers(0, e - s, B)
-            xq_np = blk[qi] + 0.05 * rng.standard_normal((B, D)).astype(np.float32)
+            xq_np = blk[qi] + 0.05 * rng.standard_normal((B, D), dtype=np.float32)
             xq_np /= np.linalg.norm(xq_np, axis=1, keepdims=True)
             np.save(f"{CACHE}/xq.npy", xq_np)
     np.save(f"{CACHE}/scales.npy", scales)
@@ -75,7 +75,7 @@ t0 = time.time()
 if not os.path.exists(f"{CACHE}/assign.npy"):
     cen = jnp.asarray(centroids, jnp.bfloat16)
     assign = np.empty(N, np.int32)
-    step = 1 << 20
+    step = 1 << 16  # scores tile (step, nlist) f32 must fit HBM
     for s in range(0, N, step):
         e = min(s + step, N)
         blk = jnp.asarray(q8[s:e], jnp.bfloat16) * jnp.asarray(scales[s:e])[:, None]

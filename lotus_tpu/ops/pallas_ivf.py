@@ -81,38 +81,45 @@ def _slice_mask(j, vcount):
     return cols < vcount
 
 
-def _probe_kernel(qtab_ref, btab_ref, vtab_ref, xq_ref, xb_ref, out_s_ref, out_i_ref):
-    """One unit: (QU, d) x (BL, d)^T -> per-bucket (top-2, arg)."""
-    nbk = BL // BUCKET
-    scores = jnp.dot(xq_ref[:], xb_ref[:].T, preferred_element_type=jnp.float32)  # (QU, BL)
-    u = pl.program_id(0)
-    vcount = vtab_ref[u]
+def _probe_kernel(qtab_ref, btab_ref, vtab_ref, xq_ref, xb_ref, *rest, int8_dot, dequant, l2):
+    """One unit: (QU, d) x (BL, d)^T -> per-bucket (top-2, arg).
 
-    def get_slice(j):
-        sl = scores[:, j * nbk : (j + 1) * nbk]
-        return jnp.where(_slice_mask(j, vcount), sl, MASK_SCORE)
-
-    _bucket_top2_write(get_slice, btab_ref[u] * BL, out_s_ref, out_i_ref)
-
-
-def _probe_kernel_int8(qtab_ref, btab_ref, vtab_ref, xq_ref, xb_ref, sc_ref, out_s_ref, out_i_ref):
-    """int8 unit: int8 MXU dot, then dequantize by the rows' scales.
-
-    ``sc_ref`` block is (1, BUCKET, nbk): scale row j holds the scales of db
-    rows [j*nbk, (j+1)*nbk), exactly the bucket-loop slice — so dequantizing
-    is a (nbk,)-lane broadcast per slice and the scales array never needs a
-    (1, BL) block (which would violate the (8, 128) tile rule).
-
-    Query scales are per-query constants, so they don't affect ranking and
-    are applied outside the kernel (after the final top-k).
+    Variants (static flags; extra inputs in order):
+    - ``int8_dot``: int8 x int8 on the MXU (ip only — the per-query scale is
+      rank-neutral there and is applied after the final top-k).
+    - ``dequant``: multiply dot slices by prefetched row scales.  The scale
+      block is (1, BUCKET, nbk): row j holds db rows [j*nbk, (j+1)*nbk) —
+      exactly the bucket-loop slice — so a (1, BL) block (which would break
+      the (8, 128) tile rule) is never needed.
+    - ``l2``: score slices become 2*dot - ||x||^2 with norms prefetched the
+      same way (int8 l2 keeps queries bf16: the query scale would multiply
+      only the dot term, so it is NOT rank-neutral under the subtraction).
     """
     nbk = BL // BUCKET
-    idot = jnp.dot(xq_ref[:], xb_ref[:].T, preferred_element_type=jnp.int32)  # (QU, BL)
+    refs = list(rest)
+    out_i_ref = refs.pop()
+    out_s_ref = refs.pop()
+    sc_ref = refs.pop(0) if dequant else None
+    nm_ref = refs.pop(0) if l2 else None
+
+    xb = xb_ref[:]
+    if int8_dot:
+        dot = jnp.dot(xq_ref[:], xb.T, preferred_element_type=jnp.int32)
+    else:
+        xb = xb.astype(xq_ref.dtype) if xb.dtype != xq_ref.dtype else xb
+        # f32 inputs need HIGHEST or the MXU silently rounds through bf16
+        # (wrong l2 distances); bf16 inputs take the fast path.
+        prec = jax.lax.Precision.HIGHEST if xq_ref.dtype == jnp.float32 else None
+        dot = jnp.dot(xq_ref[:], xb.T, preferred_element_type=jnp.float32, precision=prec)
     u = pl.program_id(0)
     vcount = vtab_ref[u]
 
     def get_slice(j):
-        sl = idot[:, j * nbk : (j + 1) * nbk].astype(jnp.float32) * sc_ref[0, j][None, :]
+        sl = dot[:, j * nbk : (j + 1) * nbk].astype(jnp.float32)
+        if sc_ref is not None:
+            sl = sl * sc_ref[0, j][None, :]
+        if nm_ref is not None:
+            sl = 2.0 * sl - nm_ref[0, j][None, :]
         return jnp.where(_slice_mask(j, vcount), sl, MASK_SCORE)
 
     _bucket_top2_write(get_slice, btab_ref[u] * BL, out_s_ref, out_i_ref)
@@ -127,6 +134,7 @@ def _grouped_probe_pallas(
     list_size: jnp.ndarray,
     xq: jnp.ndarray,
     row_scales: jnp.ndarray | None,
+    norms_sq: jnp.ndarray | None,
     k: int,
     nprobe: int,
     max_blocks: int,
@@ -138,14 +146,18 @@ def _grouped_probe_pallas(
     p = b * nprobe
     nbk = BL // BUCKET
     is_int8 = xb_sorted.dtype == jnp.int8
+    is_l2 = metric == "l2"
+    int8_dot = is_int8 and not is_l2  # l2 keeps queries bf16 (see kernel doc)
 
     # Coarse ranking always uses the float queries.
     _, probe_lists = flat_search(centroids, xq, nprobe, metric=metric)
 
-    if is_int8:
+    if int8_dot:
         from lotus_tpu.ops.quant import quantize_rows
 
         xq_store, q_scales = quantize_rows(xq)  # int8 queries + per-query scale
+    elif is_int8 or xb_sorted.dtype == jnp.bfloat16:
+        xq_store, q_scales = xq.astype(jnp.bfloat16), None
     else:
         xq_store, q_scales = xq, None
 
@@ -213,19 +225,18 @@ def _grouped_probe_pallas(
         pl.BlockSpec((QU, d), lambda u, qt, bt, vt: (qt[u], 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((BL, d), lambda u, qt, bt, vt: (bt[u], 0), memory_space=pltpu.VMEM),
     ]
-    operands = [xq_units.astype(xb_blocks.dtype), xb_blocks]
-    kernel = _probe_kernel
+    operands = [xq_units, xb_blocks]  # xq_store dtype already matches the kernel variant
+    # (nblocks, BUCKET, nbk): full trailing dims per block (tile-legal).
+    per_row_spec = pl.BlockSpec(
+        (1, BUCKET, BL // BUCKET), lambda u, qt, bt, vt: (bt[u], 0, 0), memory_space=pltpu.VMEM
+    )
     if is_int8:
-        # (nblocks, BUCKET, nbk): full trailing dims per block (tile-legal).
-        in_specs.append(
-            pl.BlockSpec(
-                (1, BUCKET, BL // BUCKET),
-                lambda u, qt, bt, vt: (bt[u], 0, 0),
-                memory_space=pltpu.VMEM,
-            )
-        )
+        in_specs.append(per_row_spec)
         operands.append(row_scales.reshape(-1, BUCKET, BL // BUCKET))
-        kernel = _probe_kernel_int8
+    if is_l2:
+        in_specs.append(per_row_spec)
+        operands.append(norms_sq.reshape(-1, BUCKET, BL // BUCKET))
+    kernel = functools.partial(_probe_kernel, int8_dot=int8_dot, dequant=is_int8, l2=is_l2)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(u_max,),
@@ -300,16 +311,13 @@ def ivf_search_pallas(
     metric: str = "ip",
     interpret: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Grouped IVF probe via the Pallas block-DMA kernel.
+    """Grouped IVF probe via the Pallas block-DMA kernel (ip/cosine/l2).
 
-    Requires a block-aligned index (``build_ivf(..., block_align=512)``)
-    and currently supports ip/cosine metrics.
+    Requires a block-aligned index (``build_ivf(..., block_align=512)``).
     """
     meta = state["meta"]
     if int(meta.get("block_align", 0)) != BL:
         raise ValueError(f"index must be built with block_align={BL} for the Pallas probe")
-    if metric == "l2":
-        raise NotImplementedError("Pallas grouped probe currently supports ip/cosine")
     nlist = int(meta["nlist"])
     window = int(meta["probe_window"])
     nprobe = max(1, min(nprobe, nlist))
@@ -325,6 +333,9 @@ def ivf_search_pallas(
     vecs = state["ivf_vectors"]
     if vecs.shape[0] % BL != 0:
         raise ValueError("block-aligned IVF storage expected (rows % 512 != 0)")
+    if metric == "l2" and "ivf_norms_sq" not in state:
+        # Float stores don't persist norms; compute once and cache.
+        state["ivf_norms_sq"] = jnp.sum(jnp.square(vecs.astype(jnp.float32)), axis=-1)
     scores, idx = _grouped_probe_pallas(
         state["centroids"],
         vecs,
@@ -333,6 +344,7 @@ def ivf_search_pallas(
         state["ivf_list_size"],
         xq,
         state.get("ivf_row_scales"),
+        state.get("ivf_norms_sq") if metric == "l2" else None,
         k,
         nprobe,
         max_blocks,
@@ -340,6 +352,9 @@ def ivf_search_pallas(
         interpret,
     )
     dists = as_distance(scores, metric)
+    if metric == "l2":
+        q_norms = jnp.sum(jnp.square(xq), axis=-1, keepdims=True)
+        dists = jnp.where(idx == NO_HIT, jnp.finfo(jnp.float32).max, dists + q_norms)
     if squeeze:
         return dists[0], idx[0]
     return dists, idx

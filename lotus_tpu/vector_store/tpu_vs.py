@@ -243,7 +243,6 @@ class TpuVS(VS):
 
                 use_pallas = (
                     int(meta.get("block_align", 0)) == _PALLAS_BL
-                    and meta["metric"] != "l2"
                     and "ivf_sharded" not in state
                     and (jax.default_backend() == "tpu" or self._pallas_interpret)
                 )

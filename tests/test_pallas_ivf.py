@@ -174,12 +174,35 @@ def test_grouped_probe_rejects_int8(tmp_path):
         ivf_search_grouped(state, jnp.asarray(emb[:4]), 5, nprobe=2, metric="ip")
 
 
-def test_pallas_probe_l2_not_supported(tmp_path):
+def test_pallas_probe_l2(tmp_path):
     rng = np.random.default_rng(5)
-    emb = rng.standard_normal((2048, 32)).astype(np.float32)
+    emb = rng.standard_normal((4096, 32)).astype(np.float32)
     idx_dir = str(tmp_path / "l2idx")
-    meta = {"kind": "ivf", "metric": "l2", **build_ivf(idx_dir, emb, nlist=8, metric="l2", block_align=BL)}
+    meta = {"kind": "ivf", "metric": "l2", **build_ivf(idx_dir, emb, nlist=4, metric="l2", block_align=BL)}
     state = load_ivf_state(idx_dir, meta, jnp.float32)
     state["meta"] = meta
-    with pytest.raises(NotImplementedError):
-        ivf_search_pallas(state, jnp.asarray(emb[:2]), 5, nprobe=2, metric="l2", interpret=True)
+    q = jnp.asarray(emb[:16] + 0.01 * rng.standard_normal((16, 32)).astype(np.float32))
+    d_ref, i_ref = ivf_search(state, q, 10, nprobe=4, metric="l2")
+    d_pl, i_pl = ivf_search_pallas(state, q, 10, nprobe=4, metric="l2", interpret=True)
+    i_ref, i_pl = np.asarray(i_ref), np.asarray(i_pl)
+    assert (i_pl[:, 0] == i_ref[:, 0]).all()
+    overlap = np.mean([len(set(i_pl[r]) & set(i_ref[r])) / 10 for r in range(16)])
+    assert overlap >= 0.9, overlap
+    # Distances are true squared euclidean distances where ids agree.
+    np.testing.assert_allclose(
+        np.asarray(d_pl)[:, 0], np.asarray(d_ref)[:, 0], rtol=1e-3, atol=1e-3
+    )
+
+
+def test_pallas_probe_l2_int8(tmp_path):
+    rng = np.random.default_rng(15)
+    emb = rng.standard_normal((4096, 32)).astype(np.float32)
+    idx_dir = str(tmp_path / "l2q")
+    meta = {"kind": "ivf", "metric": "l2", **build_ivf(idx_dir, emb, nlist=4, metric="l2", block_align=BL)}
+    state = load_ivf_state(idx_dir, meta, jnp.int8)
+    state["meta"] = meta
+    assert "ivf_norms_sq" in state
+    q = jnp.asarray(emb[:8] + 0.01 * rng.standard_normal((8, 32)).astype(np.float32))
+    _, i_ref = ivf_search(state, q, 5, nprobe=4, metric="l2")  # int8 window probe
+    _, i_pl = ivf_search_pallas(state, q, 5, nprobe=4, metric="l2", interpret=True)
+    assert (np.asarray(i_pl)[:, 0] == np.asarray(i_ref)[:, 0]).all()

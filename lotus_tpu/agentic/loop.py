@@ -1,19 +1,25 @@
-"""Per-item agentic tool-calling loop.
+"""The single-agent tool loop.
 
-Parity target: ``lotus/agentic/loop.py:58-165``.  ``run_agent`` drives one
-agent session: send messages to a ``Completer``, execute requested tools,
-feed results back, repeat until final content or ``max_steps``; then one
-forced tool-free turn so a text answer always comes back.  Tool failures are
-fed back as ``ERROR:`` text, never fatal.
+Role parity with ``lotus/agentic/loop.py`` (drive one model+tools session to
+a text answer), built here as an explicit state machine: a :class:`Transcript`
+owns the OpenAI-wire message list, a :class:`ToolBelt` owns dispatch and
+error capture, and :class:`AgentSession` advances turn by turn until the
+model stops asking for tools or the step budget runs out. ``run_agent`` is
+the one-shot convenience wrapper the pipeline uses.
+
+The model is reached only through the :class:`Completer` protocol, so the
+whole loop runs offline under scripted fakes in tests.
 """
 
 from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from typing import Any, Protocol
+from typing import Any, Iterable, Protocol
 
 from lotus_tpu.tools.base import Tool
+
+_WRAP_UP = "Provide your final answer now."
 
 
 @dataclass
@@ -51,6 +57,103 @@ class AgentResult:
     usage: dict[str, int]
 
 
+class Transcript:
+    """The conversation so far, in OpenAI wire format."""
+
+    def __init__(self, system: str, user: str):
+        self.messages: list[dict[str, Any]] = [
+            {"role": "system", "content": system},
+            {"role": "user", "content": user},
+        ]
+
+    def record_request(self, step: AgentStep) -> None:
+        """Append the assistant turn that asked for tools (so the model sees it)."""
+        wire_calls = [
+            {
+                "id": c.id,
+                "type": "function",
+                "function": {"name": c.name, "arguments": json.dumps(c.arguments)},
+            }
+            for c in step.tool_calls
+        ]
+        self.messages.append({"role": "assistant", "content": step.content or "", "tool_calls": wire_calls})
+
+    def record_observation(self, call: ToolCall, observation: str) -> None:
+        self.messages.append(
+            {"role": "tool", "tool_call_id": call.id, "name": call.name, "content": observation}
+        )
+
+    def with_nudge(self, text: str) -> list[dict[str, Any]]:
+        """A copy of the transcript with one extra user message appended."""
+        return self.messages + [{"role": "user", "content": text}]
+
+
+class ToolBelt:
+    """Name-indexed tool set; every failure becomes observation text."""
+
+    def __init__(self, tools: Iterable[Tool]):
+        self._by_name = {t.name: t for t in tools}
+
+    def invoke(self, call: ToolCall) -> str:
+        tool = self._by_name.get(call.name)
+        if tool is None:
+            return f"ERROR: unknown tool '{call.name}'"
+        try:
+            return tool.run(**call.arguments)
+        except Exception as err:  # observations, never exceptions
+            return f"ERROR: {type(err).__name__}: {err}"
+
+
+class AgentSession:
+    """Turn-by-turn driver. ``advance()`` runs one model turn; ``result``
+    is set once the session is closed."""
+
+    def __init__(self, completer: Completer, tools: Iterable[Tool], system: str, user: str, max_steps: int = 6):
+        self.completer = completer
+        self.belt = ToolBelt(tools)
+        self.transcript = Transcript(system, user)
+        self.max_steps = max_steps
+        self.trace: list[dict[str, Any]] = []
+        self.usage: dict[str, int] = {}
+        self.turns = 0
+        self.result: AgentResult | None = None
+
+    @property
+    def open(self) -> bool:
+        return self.result is None
+
+    def _meter(self, step: AgentStep) -> None:
+        for key, n in (step.usage or {}).items():
+            self.usage[key] = self.usage.get(key, 0) + n
+
+    def _close(self, text: str, *, truncated: bool) -> None:
+        self.result = AgentResult(text, self.trace, self.turns, truncated, self.usage)
+
+    def advance(self) -> None:
+        """One turn: ask the model; either finish, or execute its tool calls."""
+        if not self.open:
+            return
+        if self.turns >= self.max_steps:
+            # Out of budget — demand a text answer with tools switched off.
+            step = self.completer(self.transcript.with_nudge(_WRAP_UP), tools_enabled=False)
+            self._meter(step)
+            self._close(step.content or "", truncated=True)
+            return
+
+        self.turns += 1
+        step = self.completer(self.transcript.messages)
+        self._meter(step)
+        if not step.tool_calls:
+            self._close(step.content or "", truncated=False)
+            return
+
+        self.transcript.record_request(step)
+        for call in step.tool_calls:
+            observation = self.belt.invoke(call)
+            self.trace.append({"tool": call.name, "arguments": call.arguments, "result": observation})
+            self.transcript.record_observation(call, str(observation))
+
+
 def run_agent(
     completer: Completer,
     tools: list[Tool],
@@ -58,97 +161,55 @@ def run_agent(
     user_content: str,
     max_steps: int = 6,
 ) -> AgentResult:
-    """Run a single agentic tool-calling session to completion."""
-    tool_by_name = {t.name: t for t in tools}
-    messages: list[dict[str, Any]] = [
-        {"role": "system", "content": system_prompt},
-        {"role": "user", "content": user_content},
-    ]
-    trace: list[dict[str, Any]] = []
-    usage: dict[str, int] = {}
+    """Run one agent session to completion and return its result."""
+    session = AgentSession(completer, tools, system_prompt, user_content, max_steps)
+    while session.open:
+        session.advance()
+    assert session.result is not None
+    return session.result
 
-    def add_usage(u: dict[str, int]) -> None:
-        for k, v in (u or {}).items():
-            usage[k] = usage.get(k, 0) + v
 
-    for step in range(max_steps):
-        agent_step = completer(messages)
-        add_usage(agent_step.usage)
-
-        if not agent_step.tool_calls:
-            return AgentResult(agent_step.content or "", trace, step + 1, truncated=False, usage=usage)
-
-        messages.append(
-            {
-                "role": "assistant",
-                "content": agent_step.content or "",
-                "tool_calls": [
-                    {
-                        "id": tc.id,
-                        "type": "function",
-                        "function": {"name": tc.name, "arguments": json.dumps(tc.arguments)},
-                    }
-                    for tc in agent_step.tool_calls
-                ],
-            }
-        )
-        for tc in agent_step.tool_calls:
-            tool = tool_by_name.get(tc.name)
-            if tool is None:
-                result = f"ERROR: unknown tool '{tc.name}'"
-            else:
-                try:
-                    result = tool.run(**tc.arguments)
-                except Exception as e:  # feed failures back, never raise
-                    result = f"ERROR: {type(e).__name__}: {e}"
-            trace.append({"tool": tc.name, "arguments": tc.arguments, "result": result})
-            messages.append({"role": "tool", "tool_call_id": tc.id, "name": tc.name, "content": str(result)})
-
-    # Step budget exhausted: force a tool-free final answer.
-    final = completer(
-        messages + [{"role": "user", "content": "Provide your final answer now."}],
-        tools_enabled=False,
+def _decode_wire_step(resp: Any) -> AgentStep:
+    """Translate a litellm completion response into an AgentStep."""
+    msg = resp.choices[0].message
+    calls: list[ToolCall] = []
+    for tc in getattr(msg, "tool_calls", None) or []:
+        try:
+            args = json.loads(tc.function.arguments or "{}")
+        except json.JSONDecodeError:
+            args = {}
+        calls.append(ToolCall(id=tc.id, name=tc.function.name, arguments=args))
+    usage_obj = getattr(resp, "usage", None)
+    usage = (
+        {}
+        if usage_obj is None
+        else {
+            "prompt_tokens": usage_obj.prompt_tokens or 0,
+            "completion_tokens": usage_obj.completion_tokens or 0,
+            "total_tokens": usage_obj.total_tokens or 0,
+        }
     )
-    add_usage(final.usage)
-    return AgentResult(final.content or "", trace, max_steps, truncated=True, usage=usage)
+    return AgentStep(content=msg.content, tool_calls=calls, usage=usage)
 
 
 class LiteLLMCompleter:
-    """Production Completer over litellm native tool-calling (optional dep).
+    """Production Completer over litellm native tool calling (optional dep).
 
-    Reuses the configured LM's model + generation kwargs.
+    Inherits the configured LM's model id and generation kwargs.
     """
+
+    _FORWARDED = ("temperature", "max_completion_tokens")
 
     def __init__(self, lm: Any, tools: list[Tool] | None = None):
         self.lm = lm
-        self.tool_schemas = [t.to_openai_schema() for t in (tools or [])] or None
+        self.tool_schemas = [t.describe() for t in (tools or [])] or None
 
     def __call__(self, messages: list[dict[str, Any]], *, tools_enabled: bool = True) -> AgentStep:
         import litellm
 
-        kwargs: dict[str, Any] = {}
-        for k in ("temperature", "max_completion_tokens"):
-            if k in getattr(self.lm, "kwargs", {}):
-                kwargs[k] = self.lm.kwargs[k]
-        if self.tool_schemas and tools_enabled:
-            kwargs["tools"] = self.tool_schemas
-            kwargs["tool_choice"] = "auto"
-
-        resp = litellm.completion(model=self.lm.model, messages=messages, drop_params=True, **kwargs)
-        msg = resp.choices[0].message
-        tool_calls = []
-        for tc in getattr(msg, "tool_calls", None) or []:
-            try:
-                args = json.loads(tc.function.arguments or "{}")
-            except json.JSONDecodeError:
-                args = {}
-            tool_calls.append(ToolCall(id=tc.id, name=tc.function.name, arguments=args))
-
-        usage = {}
-        if getattr(resp, "usage", None) is not None:
-            usage = {
-                "prompt_tokens": resp.usage.prompt_tokens or 0,
-                "completion_tokens": resp.usage.completion_tokens or 0,
-                "total_tokens": resp.usage.total_tokens or 0,
-            }
-        return AgentStep(content=msg.content, tool_calls=tool_calls, usage=usage)
+        gen = getattr(self.lm, "kwargs", {}) or {}
+        extra: dict[str, Any] = {k: gen[k] for k in self._FORWARDED if k in gen}
+        if tools_enabled and self.tool_schemas:
+            extra.update(tools=self.tool_schemas, tool_choice="auto")
+        resp = litellm.completion(model=self.lm.model, messages=messages, drop_params=True, **extra)
+        return _decode_wire_step(resp)

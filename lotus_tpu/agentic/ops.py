@@ -1,49 +1,98 @@
-"""Agentic op algebra (parity: ``lotus/agentic/ops.py:17-69``).
+"""The agentic op algebra: what can run, and in what order.
 
-Corpus ops (``map``, ``filter``) are Corpus -> Corpus and chainable;
-terminal ops (``reduce``) collapse the corpus to one answer and must be last.
+Role parity with ``lotus/agentic/ops.py``, expressed as a typed spec table
+instead of bare string tuples: each op declares what it *yields* — another
+corpus (chainable) or a single answer (must close the pipeline). Validation
+reads the table, so adding an op is one registry line.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Sequence
 
+
+@dataclass(frozen=True)
+class OpSpec:
+    """Static description of one pipeline op."""
+
+    name: str
+    yields: str  # "corpus" (chainable) | "answer" (closes the pipeline)
+    doc: str
+
+    @property
+    def closes_pipeline(self) -> bool:
+        return self.yields == "answer"
+
+
+_REGISTRY: dict[str, OpSpec] = {
+    spec.name: spec
+    for spec in (
+        OpSpec("map", "corpus", "transform each shard with an agent"),
+        OpSpec("filter", "corpus", "keep/drop each unit by an agent's verdict"),
+        OpSpec("reduce", "answer", "aggregate all shard outputs into one answer"),
+    )
+}
+
+# Convenience names (public API).
 MAP = "map"
 FILTER = "filter"
 REDUCE = "reduce"
-
-OPS: tuple[str, ...] = (MAP, FILTER, REDUCE)
-TERMINAL_OPS: tuple[str, ...] = (REDUCE,)
-CORPUS_OPS: tuple[str, ...] = (MAP, FILTER)
+OPS: tuple[str, ...] = tuple(_REGISTRY)
+CORPUS_OPS: tuple[str, ...] = tuple(s.name for s in _REGISTRY.values() if not s.closes_pipeline)
+TERMINAL_OPS: tuple[str, ...] = tuple(s.name for s in _REGISTRY.values() if s.closes_pipeline)
 DEFAULT_OPS: tuple[str, ...] = (MAP, REDUCE)
 
 
+def spec_of(op: str) -> OpSpec:
+    """Look up an op's spec; raises ``ValueError`` for unknown names."""
+    try:
+        return _REGISTRY[op]
+    except KeyError:
+        known = ", ".join(_REGISTRY)
+        raise ValueError(f"unknown op {op!r}; known ops: {known}") from None
+
+
 def normalize_ops(ops: str | Sequence[str] | None) -> list[str]:
-    """Validate/normalize an ops argument into an ordered op-name list."""
+    """Canonicalise a user-supplied ops argument into a valid ordered list.
+
+    Rules enforced from the spec table: names must be known, appear at most
+    once, and an answer-yielding op can only be the final step.
+    """
     if ops is None:
         return list(DEFAULT_OPS)
-    if isinstance(ops, str):
-        ops = [ops]
+    names = [ops] if isinstance(ops, str) else list(ops)
+    if not names:
+        raise ValueError("ops must name at least one op")
 
-    out: list[str] = []
-    for op in ops:
-        if not isinstance(op, str):
-            raise TypeError(f"ops must be strings (one of {', '.join(OPS)}); got {op!r}")
-        key = op.strip().lower()
-        if key not in OPS:
-            raise ValueError(f"unknown op {op!r}; expected one of {', '.join(OPS)}")
-        out.append(key)
-
-    if not out:
-        raise ValueError("ops must be a non-empty list")
-    if len(set(out)) != len(out):
-        raise ValueError(f"duplicate ops are not supported; got {out}")
-    for i, op in enumerate(out):
-        if op in TERMINAL_OPS and i != len(out) - 1:
+    seen: set[str] = set()
+    plan: list[str] = []
+    for raw in names:
+        if not isinstance(raw, str):
+            raise TypeError(f"op names must be strings, got {type(raw).__name__}: {raw!r}")
+        op = raw.strip().lower()
+        spec = spec_of(op)  # raises on unknown
+        if op in seen:
+            raise ValueError(f"op {op!r} appears twice; each op may run at most once")
+        seen.add(op)
+        if plan and spec_of(plan[-1]).closes_pipeline:
             raise ValueError(
-                f"'{op}' collapses the corpus to a single answer and must be the last op; got {out}"
+                f"{plan[-1]!r} yields a single answer and closes the pipeline; "
+                f"{op!r} cannot follow it"
             )
-    return out
+        plan.append(op)
+    return plan
 
 
-__all__ = ["MAP", "FILTER", "REDUCE", "OPS", "TERMINAL_OPS", "CORPUS_OPS", "DEFAULT_OPS", "normalize_ops"]
+__all__ = [
+    "OpSpec",
+    "spec_of",
+    "normalize_ops",
+    "MAP",
+    "FILTER",
+    "REDUCE",
+    "OPS",
+    "CORPUS_OPS",
+    "TERMINAL_OPS",
+    "DEFAULT_OPS",
+]

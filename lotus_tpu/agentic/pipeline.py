@@ -1,11 +1,20 @@
-"""Agentic pipeline driver: fold ops (map/filter/reduce) over a corpus.
+"""Agentic pipeline executor: runs an op chain (map/filter/reduce) over a corpus.
 
-Parity target: ``lotus/agentic/pipeline.py:329-448``.  map and filter share
-one execution core with three strategies (per_unit / batched /
-shared_context); filter is map-to-a-verdict-then-select; reduce is a single
-agent over all shard outputs.  Agents run in a thread pool; the model is
-reached through a ``completer_factory`` so the whole pipeline is
-offline-testable.
+Role parity with ``lotus/agentic/pipeline.py``, organised around three small
+stages instead of one monolithic driver:
+
+1. *plan jobs* — :func:`_jobs_for_op` turns (corpus, op, Plan) into a list of
+   :class:`_Job`s, each a fully-rendered prompt for one worker agent;
+2. *fan out* — :func:`_fan_out` executes jobs on a thread pool through
+   :func:`run_agent`;
+3. *collect* — per-op collectors fold worker outputs back into a corpus
+   (map/filter) or a final answer (reduce).
+
+Wire formats shared with workers (and pinned by tests): units are framed as
+``[unit <id>]``; filters answer ``VERDICT: KEEP|DROP``; batched shards answer
+with one JSON array entry per unit id; the reducer sees ``PER-SHARD
+FINDINGS``. The model is reached through ``completer_factory`` so the whole
+pipeline runs offline under fakes.
 """
 
 from __future__ import annotations
@@ -17,9 +26,9 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import TYPE_CHECKING, Callable
 
-from lotus_tpu.agentic.loop import Completer, LiteLLMCompleter, run_agent
+from lotus_tpu.agentic.loop import AgentResult, Completer, LiteLLMCompleter, run_agent
 from lotus_tpu.agentic.ops import FILTER, MAP, REDUCE, normalize_ops
-from lotus_tpu.agentic.planner import DEFAULT_PARALLELISM_CAP, Plan, _heuristic_instruction, derive_plan
+from lotus_tpu.agentic.planner import DEFAULT_PARALLELISM_CAP, Plan, derive_plan, heuristic_instruction
 
 if TYPE_CHECKING:  # pragma: no cover
     from lotus_tpu.corpus import Corpus, Unit
@@ -27,36 +36,51 @@ if TYPE_CHECKING:  # pragma: no cover
 
 logger = logging.getLogger("lotus_tpu")
 
-_MAP_SYSTEM = (
-    "You are one worker in a parallel agentic map-reduce. You are given ONE shard of a "
-    "larger corpus and an instruction. Investigate only your shard and report your "
-    "findings concisely and completely."
-)
-_FILTER_SYSTEM = (
-    "You are one worker in a parallel agentic filter. You are given a shard of a corpus "
-    "(one or more units) and a keep/drop criterion. Investigate as needed — including with "
-    "any tools available — and decide keep or drop for each unit. Follow the output format "
-    "given in the instruction exactly."
-)
-_REDUCE_SYSTEM = (
-    "You are the reducer in an agentic map-reduce. You are given the per-shard results "
-    "from many parallel workers. Aggregate them into a single, coherent result per the "
-    "instruction: deduplicate, reconcile, and prioritize."
-)
+# ----------------------------------------------------------------- personas
+_PERSONA = {
+    MAP: (
+        "You are one worker in a parallel agentic map-reduce. You are given ONE shard "
+        "of a larger corpus and an instruction. Investigate only your shard and report "
+        "your findings concisely and completely."
+    ),
+    FILTER: (
+        "You are one worker in a parallel agentic filter. You are given a shard of a "
+        "corpus (one or more units) and a keep/drop criterion. Investigate as needed — "
+        "including with any tools available — and decide keep or drop for each unit. "
+        "Follow the output format given in the instruction exactly."
+    ),
+    REDUCE: (
+        "You are the reducer in an agentic map-reduce. You are given the per-shard "
+        "results from many parallel workers. Aggregate them into a single, coherent "
+        "result per the instruction: deduplicate, reconcile, and prioritize."
+    ),
+}
 
-_BATCH_MAP_SUFFIX = (
-    "\n\nThe shard contains MULTIPLE units, each marked '[unit <id>]'. Use the other units "
-    "as context, but produce the requested output for EACH unit. End your reply with a "
-    'single JSON array on its own line: [{"id": "<id>", "output": "<result>"}, ...] with '
-    "exactly one entry per unit id."
-)
-_BATCH_FILTER_SUFFIX = (
-    "\n\nThe shard contains MULTIPLE units, each marked '[unit <id>]'. Use the other units "
-    "as context, but decide KEEP or DROP for EACH unit. End your reply with a single JSON "
-    'array on its own line: [{"id": "<id>", "keep": true|false}, ...] with exactly one '
-    "entry per unit id."
-)
-_FILTER_SINGLE_SUFFIX = "\n\nEnd your reply with a line 'VERDICT: KEEP' or 'VERDICT: DROP'."
+# Closing format demands appended to worker prompts.
+_ASK_VERDICT = "\n\nEnd your reply with a line 'VERDICT: KEEP' or 'VERDICT: DROP'."
+_ASK_JSON = {
+    MAP: (
+        "\n\nThe shard contains MULTIPLE units, each marked '[unit <id>]'. Use the other "
+        "units as context, but produce the requested output for EACH unit. End your reply "
+        'with a single JSON array on its own line: [{"id": "<id>", "output": "<result>"}, '
+        "...] with exactly one entry per unit id."
+    ),
+    FILTER: (
+        "\n\nThe shard contains MULTIPLE units, each marked '[unit <id>]'. Use the other "
+        "units as context, but decide KEEP or DROP for EACH unit. End your reply with a "
+        'single JSON array on its own line: [{"id": "<id>", "keep": true|false}, ...] '
+        "with exactly one entry per unit id."
+    ),
+}
+
+
+@dataclass
+class _Job:
+    """One worker invocation: a shard plus its fully-rendered user prompt."""
+
+    shard: list["Unit"]
+    prompt: str
+    batched: bool
 
 
 @dataclass
@@ -71,135 +95,161 @@ class Result:
     corpus: "Corpus | None" = None
     findings: list[str] | None = None
 
+    def absorb_usage(self, delta: dict[str, int]) -> None:
+        for key, n in (delta or {}).items():
+            self.usage[key] = self.usage.get(key, 0) + n
 
-def _tools_guidance(tools: list["Tool"]) -> str:
+
+# ------------------------------------------------------------ prompt render
+def _frame_units(shard: list["Unit"]) -> str:
+    return "\n\n".join(f"[unit {u.id}]\n{u.content}" for u in shard)
+
+
+def _render_prompt(op: str, instruction: str, shard: list["Unit"], background: str | None) -> str:
+    sections = [f"INSTRUCTION:\n{instruction}"]
+    if background:
+        sections.append(f"SHARED CONTEXT:\n{background}")
+    sections.append(f"SHARD:\n{_frame_units(shard)}")
+    text = "\n\n".join(sections)
+    if len(shard) > 1:
+        return text + _ASK_JSON[op]
+    return text + _ASK_VERDICT if op == FILTER else text
+
+
+def _jobs_for_op(corpus: "Corpus", op: str, instruction: str, strategy: str, background: str | None, shard_size: int | None) -> list[_Job]:
+    """Slice the corpus per the strategy and render one prompt per shard."""
+    width = max(2, shard_size or 2) if strategy == "batched" else 1
+    return [
+        _Job(shard=s, prompt=_render_prompt(op, instruction, s, background), batched=len(s) > 1)
+        for s in corpus.shard(width)
+        if s
+    ]
+
+
+def _tool_primer(tools: list["Tool"]) -> str:
     if not tools:
         return ""
-    listed = "\n".join(f"- {t.name}: {t.description}" for t in tools)
+    roster = "\n".join(f"- {t.name}: {t.description}" for t in tools)
     return (
         "\n\nTools available to you:\n"
-        f"{listed}\n\n"
+        f"{roster}\n\n"
         "Use these tools whenever they help. In particular, use the Python REPL (or any "
         "other compute tool) for exact arithmetic, counting, parsing, and other "
         "deterministic work instead of doing it in your head."
     )
 
 
-def _default_completer_factory(lm) -> Callable[[list["Tool"]], Completer]:
-    return lambda tools: LiteLLMCompleter(lm, tools)
-
-
-def _shard_content(shard: list["Unit"]) -> str:
-    return "\n\n".join(f"[unit {u.id}]\n{u.content}" for u in shard)
-
-
-def _parse_verdict(text: str) -> bool:
-    """KEEP/DROP verdict; default KEEP so nothing is silently dropped."""
-    m = re.search(r"VERDICT:\s*(KEEP|DROP)", text or "", re.IGNORECASE)
-    if m:
-        return m.group(1).upper() == "KEEP"
-    upper = (text or "").upper()
-    if "DROP" in upper and "KEEP" not in upper:
-        return False
-    if "KEEP" in upper and "DROP" not in upper:
-        return True
-    logger.warning("agentic filter: could not parse a KEEP/DROP verdict; keeping the unit by default.")
+# ----------------------------------------------------------- output parsing
+def _read_verdict(text: str) -> bool:
+    """KEEP/DROP from a worker reply; unparseable replies default to KEEP."""
+    hit = re.search(r"VERDICT:\s*(KEEP|DROP)", text or "", re.IGNORECASE)
+    if hit:
+        return hit.group(1).upper() == "KEEP"
+    words = (text or "").upper()
+    if ("DROP" in words) != ("KEEP" in words):  # exactly one keyword present
+        return "KEEP" in words
+    logger.warning("agentic filter: no KEEP/DROP verdict found; keeping the unit by default.")
     return True
 
 
-def _op_user_content(kind: str, instruction: str, shard: list["Unit"], context: str | None, batched: bool) -> str:
-    parts = [f"INSTRUCTION:\n{instruction}"]
-    if context:
-        parts.append(f"SHARED CONTEXT:\n{context}")
-    parts.append(f"SHARD:\n{_shard_content(shard)}")
-    body = "\n\n".join(parts)
-    if batched:
-        body += _BATCH_FILTER_SUFFIX if kind == FILTER else _BATCH_MAP_SUFFIX
-    elif kind == FILTER:
-        body += _FILTER_SINGLE_SUFFIX
-    return body
-
-
-def _parse_batched(text: str, kind: str) -> dict[str, str]:
-    """Per-unit JSON array -> {unit_id: result_text}; filter entries are
-    normalized to VERDICT strings so _parse_verdict reads them."""
-    out: dict[str, str] = {}
-    m = re.search(r"\[[\s\S]*\]", text or "")
-    if not m:
-        return out
+def _read_json_array(text: str) -> list[dict]:
+    hit = re.search(r"\[[\s\S]*\]", text or "")
+    if not hit:
+        return []
     try:
-        arr = json.loads(m.group(0))
+        data = json.loads(hit.group(0))
     except (json.JSONDecodeError, ValueError):
-        return out
-    if not isinstance(arr, list):
-        return out
-    for entry in arr:
-        if not isinstance(entry, dict) or entry.get("id") is None:
+        return []
+    return [e for e in data if isinstance(e, dict)] if isinstance(data, list) else []
+
+
+def _per_unit_outputs(op: str, job: _Job, reply: str) -> list[tuple["Unit", str]]:
+    """Attach one output string to every unit in the job's shard."""
+    if not job.batched:
+        return [(job.shard[0], reply)]
+
+    by_id: dict[str, str] = {}
+    for entry in _read_json_array(reply):
+        if entry.get("id") is None:
             continue
-        eid = str(entry["id"])
-        if kind == FILTER:
-            out[eid] = "VERDICT: KEEP" if entry.get("keep") else "VERDICT: DROP"
+        if op == FILTER:
+            by_id[str(entry["id"])] = "VERDICT: KEEP" if entry.get("keep") else "VERDICT: DROP"
         else:
-            out[eid] = str(entry.get("output", ""))
-    return out
+            by_id[str(entry["id"])] = str(entry.get("output", ""))
+
+    rows: list[tuple["Unit", str]] = []
+    for unit in job.shard:
+        if unit.id in by_id:
+            rows.append((unit, by_id[unit.id]))
+        else:
+            logger.warning("agentic %s: batched reply missing unit '%s'; using default.", op, unit.id)
+            rows.append((unit, "VERDICT: KEEP" if op == FILTER else unit.content))
+    return rows
 
 
-def _merge_usage(into: dict[str, int], other: dict[str, int]) -> None:
-    for k, v in (other or {}).items():
-        into[k] = into.get(k, 0) + v
-
-
-def _run_shard(
+# ---------------------------------------------------------------- execution
+def _fan_out(
+    jobs: list[_Job],
+    *,
     completer: Completer,
     tools: list["Tool"],
-    system: str,
-    kind: str,
-    instruction: str,
-    shard: list["Unit"],
-    context: str | None,
+    persona: str,
+    parallelism: int,
     max_steps: int,
-) -> tuple[list[tuple["Unit", str]], dict[str, int]]:
-    batched = len(shard) > 1
-    res = run_agent(
-        completer, tools,
-        system_prompt=system,
-        user_content=_op_user_content(kind, instruction, shard, context, batched),
-        max_steps=max_steps,
-    )
-    if not batched:
-        return [(shard[0], res.output)], res.usage
+) -> list[AgentResult]:
+    def worker(job: _Job) -> AgentResult:
+        return run_agent(completer, tools, system_prompt=persona, user_content=job.prompt, max_steps=max_steps)
 
-    parsed = _parse_batched(res.output, kind)
-    pairs: list[tuple["Unit", str]] = []
-    for u in shard:
-        if u.id in parsed:
-            pairs.append((u, parsed[u.id]))
-        else:
-            logger.warning("agentic %s: batched output missing unit '%s'; using default.", kind, u.id)
-            pairs.append((u, "VERDICT: KEEP" if kind == FILTER else u.content))
-    return pairs, res.usage
+    with ThreadPoolExecutor(max_workers=max(1, parallelism)) as pool:
+        return list(pool.map(worker, jobs))
 
 
-def _run_corpus_op(
-    corpus: "Corpus", kind: str, instruction: str, *,
-    strategy: str, context: str | None, completer: Completer, tools: list["Tool"],
-    system: str, shard_size: int | None, parallelism: int, max_steps: int,
-    usage: dict[str, int],
-) -> list[tuple["Unit", str]]:
-    size = max(2, shard_size or 2) if strategy == "batched" else 1
-    shards = corpus.shard(size)
+class _PipelineRun:
+    """Mutable state threaded through the op chain."""
 
-    def one(shard: list["Unit"]):
-        return _run_shard(completer, tools, system, kind, instruction, shard, context, max_steps)
+    def __init__(self, result: Result, completer: Completer, tools: list["Tool"], guidance: str, max_steps: int):
+        self.result = result
+        self.completer = completer
+        self.tools = tools
+        self.guidance = guidance
+        self.max_steps = max_steps
 
-    with ThreadPoolExecutor(max_workers=max(1, parallelism)) as ex:
-        shard_outs = list(ex.map(one, shards))
+    def corpus_op(self, corpus: "Corpus", op: str) -> list[tuple["Unit", str]]:
+        plan = self.result.plan
+        jobs = _jobs_for_op(
+            corpus,
+            op,
+            plan.instructions.get(op) or heuristic_instruction(op, "(no instruction)"),
+            plan.strategies.get(op, "per_unit"),
+            plan.contexts.get(op),
+            plan.shard_size,
+        )
+        replies = _fan_out(
+            jobs,
+            completer=self.completer,
+            tools=self.tools,
+            persona=_PERSONA[op] + self.guidance,
+            parallelism=plan.parallelism,
+            max_steps=self.max_steps,
+        )
+        rows: list[tuple["Unit", str]] = []
+        for job, res in zip(jobs, replies):
+            self.result.absorb_usage(res.usage)
+            rows.extend(_per_unit_outputs(op, job, res.output))
+        return rows
 
-    pairs: list[tuple["Unit", str]] = []
-    for prs, u in shard_outs:
-        pairs.extend(prs)
-        _merge_usage(usage, u)
-    return pairs
+    def reduce_op(self, corpus: "Corpus", op: str) -> str:
+        digest = "\n\n".join(f"[shard {i}]\n{u.content}" for i, u in enumerate(corpus.units))
+        instruction = self.result.plan.instructions.get(op) or heuristic_instruction(op, "(no instruction)")
+        res = run_agent(
+            self.completer,
+            self.tools,
+            system_prompt=_PERSONA[REDUCE] + self.guidance,
+            user_content=f"INSTRUCTION:\n{instruction}\n\nPER-SHARD FINDINGS:\n{digest}",
+            max_steps=self.max_steps,
+        )
+        self.result.absorb_usage(res.usage)
+        return res.output
 
 
 def run_pipeline(
@@ -221,79 +271,54 @@ def run_pipeline(
     """Run an ordered pipeline of agent ops over ``corpus`` for ``task``."""
     from lotus_tpu.corpus import Corpus, Unit
 
-    op_list = normalize_ops(ops)
+    chain = normalize_ops(ops)
     tools = tools or []
-    overrides = dict(instructions or {})
-    strat_overrides = dict(strategies or {})
-    ctx_overrides = dict(contexts or {})
 
     if lm is None:
         from lotus_tpu.settings import settings
 
         lm = settings.lm
     if completer_factory is None:
-        completer_factory = _default_completer_factory(lm)
+        completer_factory = lambda ts: LiteLLMCompleter(lm, ts)  # noqa: E731
 
     cap = DEFAULT_PARALLELISM_CAP if max_parallelism == "auto" else int(max_parallelism)
-    the_plan = plan if isinstance(plan, Plan) else derive_plan(
-        task, corpus, op_list, lm=lm, overrides=overrides, parallelism_cap=cap
-    )
-    the_plan.ops = op_list
-    the_plan.parallelism = max(1, min(the_plan.parallelism, cap))
+    if isinstance(plan, Plan):
+        the_plan = plan
+    else:
+        the_plan = derive_plan(task, corpus, chain, lm=lm, overrides=dict(instructions or {}), parallelism_cap=cap)
+    the_plan.ops = chain
+    the_plan.parallelism = min(max(1, the_plan.parallelism), cap)
 
-    completer = completer_factory(tools)
-    guidance = _tools_guidance(tools)
-    usage: dict[str, int] = {}
+    # Explicit per-op arguments take precedence over whatever the plan holds.
+    for op in chain:
+        if instructions and op in instructions:
+            the_plan.instructions[op] = instructions[op]
+        if strategies and op in strategies:
+            the_plan.strategies[op] = strategies[op]
+        if contexts and op in contexts:
+            the_plan.contexts[op] = contexts[op]
+        the_plan.instructions.setdefault(op, heuristic_instruction(op, task))
 
-    def instruction_for(op: str) -> str:
-        return the_plan.instructions.get(op) or overrides.get(op) or _heuristic_instruction(op, task)
+    result = Result(ops=chain, plan=the_plan)
+    run = _PipelineRun(result, completer_factory(tools), tools, _tool_primer(tools), max_steps)
 
-    def strategy_for(op: str) -> str:
-        return strat_overrides.get(op) or the_plan.strategies.get(op) or "per_unit"
-
-    def context_for(op: str) -> "str | None":
-        return ctx_overrides.get(op) or the_plan.contexts.get(op)
-
-    current: "Corpus | None" = corpus
-    findings: list[str] | None = None
-    output: str | None = None
-
-    for op in op_list:
-        assert current is not None  # terminal op is always last
-        if op == MAP:
-            pairs = _run_corpus_op(
-                current, MAP, instruction_for(op),
-                strategy=strategy_for(op), context=context_for(op),
-                completer=completer, tools=tools, system=_MAP_SYSTEM + guidance,
-                shard_size=the_plan.shard_size, parallelism=the_plan.parallelism,
-                max_steps=max_steps, usage=usage,
-            )
-            current = Corpus(
-                [Unit(id=u.id, content=r, metadata={"op": "map", "source_id": u.id}) for u, r in pairs]
-            )
-            findings = [r for _, r in pairs]
-        elif op == FILTER:
-            pairs = _run_corpus_op(
-                current, FILTER, instruction_for(op),
-                strategy=strategy_for(op), context=context_for(op),
-                completer=completer, tools=tools, system=_FILTER_SYSTEM + guidance,
-                shard_size=the_plan.shard_size, parallelism=the_plan.parallelism,
-                max_steps=max_steps, usage=usage,
-            )
-            current = Corpus([u for u, r in pairs if _parse_verdict(r)])
-        elif op == REDUCE:
-            joined = "\n\n".join(f"[shard {i}]\n{u.content}" for i, u in enumerate(current.units))
-            res = run_agent(
-                completer, tools,
-                system_prompt=_REDUCE_SYSTEM + guidance,
-                user_content=f"INSTRUCTION:\n{instruction_for(op)}\n\nPER-SHARD FINDINGS:\n{joined}",
-                max_steps=max_steps,
-            )
-            _merge_usage(usage, res.usage)
-            output = res.output
-            current = None
-
-    return Result(ops=op_list, plan=the_plan, usage=usage, output=output, corpus=current, findings=findings)
+    live: "Corpus | None" = corpus
+    for op in chain:
+        assert live is not None  # normalize_ops guarantees terminal-last
+        if op == REDUCE:
+            result.output = run.reduce_op(live, op)
+            live = None
+        else:
+            rows = run.corpus_op(live, op)
+            if op == MAP:
+                live = Corpus(
+                    Unit(id=u.id, content=text, metadata={"op": "map", "source_id": u.id}) for u, text in rows
+                )
+                result.findings = [text for _, text in rows]
+            else:  # FILTER
+                live = Corpus(u for u, text in rows if _read_verdict(text))
+    result.corpus = live
+    return result
 
 
 __all__ = ["Result", "run_pipeline"]

@@ -1,9 +1,12 @@
-"""Planner: turn a one-line task into a concrete per-op Plan.
+"""Task planning for agentic pipelines.
 
-Parity target: ``lotus/agentic/planner.py:28-197``.  Derives one
-natural-language instruction per op plus sharding/parallelism via an LM call
-(pydantic response format), with a heuristic fallback whenever the LM is
-missing or planning fails.
+Role parity with ``lotus/agentic/planner.py`` (turn a one-line task into
+per-op instructions + sharding/parallelism), structured here as a two-stage
+build: :func:`fallback_plan` always produces a runnable heuristic
+:class:`Plan`, and — when an LM is configured — :func:`derive_plan` asks it
+for a :class:`_Draft` and grafts whatever usable fields come back on top.
+Planning is best-effort by design: any LM failure leaves the heuristic plan
+in place.
 """
 
 from __future__ import annotations
@@ -25,85 +28,125 @@ STRATEGIES: tuple[str, ...] = ("per_unit", "batched", "shared_context")
 class Plan(BaseModel):
     """A concrete execution plan derived from a task."""
 
-    ops: list[str] = Field(default_factory=lambda: list(DEFAULT_OPS))
+    ops: list[str] = Field(default_factory=lambda: list(DEFAULT_OPS), description="Ordered op chain.")
     instructions: dict[str, str] = Field(default_factory=dict, description="Per-op instruction, keyed by op name.")
-    strategies: dict[str, str] = Field(
-        default_factory=dict, description="Per-op execution strategy: per_unit | batched | shared_context."
+    strategies: dict[str, str] = Field(default_factory=dict, description="Per-op strategy (see STRATEGIES).")
+    contexts: dict[str, str] = Field(default_factory=dict, description="Per-op shared background text.")
+    segmentation: Literal["by_unit", "by_size", "semantic_chunk", "selector"] = Field(
+        "by_unit", description="How the corpus splits into shards."
     )
-    contexts: dict[str, str] = Field(
-        default_factory=dict, description="Per-op shared context (for the shared_context strategy)."
+    shard_size: int | None = Field(1, description="Units per shard (batched strategy).")
+    parallelism: int = Field(4, description="Concurrent worker agents.")
+    selector: str | None = Field(None, description="Unit selector expression (segmentation='selector').")
+    reduce_strategy: Literal["hierarchical", "linear"] = Field(
+        "hierarchical", description="Fold shape for the reduce op."
     )
-    segmentation: Literal["by_unit", "by_size", "semantic_chunk", "selector"] = "by_unit"
-    shard_size: int | None = 1
-    parallelism: int = 4
-    selector: str | None = None
-    reduce_strategy: Literal["hierarchical", "linear"] = "hierarchical"
 
 
-class _PlanDraft(BaseModel):
-    """What the LM planner is asked to produce."""
+class _OpDraft(BaseModel):
+    """The planner LM's proposal for a single op."""
 
-    map_instruction: str | None = None
-    filter_instruction: str | None = None
-    reduce_instruction: str | None = None
-    map_strategy: str | None = None
-    filter_strategy: str | None = None
-    map_context: str | None = None
-    filter_context: str | None = None
-    shard_size: int = 1
-    parallelism: int = 4
+    instruction: str | None = None
+    strategy: str | None = None
+    context: str | None = None
 
 
-_OP_GUIDE = {
-    MAP: "map_instruction — what each parallel agent should do to ONE shard of the corpus",
-    FILTER: "filter_instruction — the keep/drop criterion each agent applies to ONE shard",
-    REDUCE: "reduce_instruction — how to aggregate the per-shard results into one final answer",
+class _Draft(BaseModel):
+    """The structured answer the planning LM is asked for (one slot per op)."""
+
+    map: _OpDraft | None = None
+    filter: _OpDraft | None = None
+    reduce: _OpDraft | None = None
+    shard_size: int = Field(1, description="Units per shard.")
+    parallelism: int = Field(4, description="Concurrent agents.")
+
+
+# What each op's instruction must cover, shown to the planner LM.
+_INSTRUCTION_BRIEF = {
+    MAP: "map.instruction: the job one parallel agent performs on ONE shard",
+    FILTER: "filter.instruction: the keep/drop test one agent applies to ONE shard",
+    REDUCE: "reduce.instruction: how per-shard outputs merge into the final answer",
 }
 
-_STRATEGY_GUIDE = (
-    "For each corpus op (map/filter), also choose an execution strategy — how much context "
-    "each per-unit decision gets:\n"
-    "- 'per_unit' (default): one unit per agent, decided independently.\n"
-    "- 'batched': several units per agent as mutual context; one result per unit. Best for "
-    "comparative criteria or many tiny units.\n"
-    "- 'shared_context': one unit per agent plus a fixed shared background you provide in "
-    "map_context/filter_context.\n"
-    "Set map_strategy/filter_strategy accordingly; with 'batched' also set shard_size; with "
-    "'shared_context' fill the matching *_context."
-)
+_STRATEGY_BRIEF = """\
+Each corpus op (map/filter) also gets an execution strategy, which sets how much
+context a per-unit decision sees:
+  per_unit       — one unit per agent, judged alone (the default).
+  batched        — several units per agent so they contextualise each other; still
+                   one output per unit. Pick this for comparative criteria or many
+                   tiny units, and set shard_size to the batch size.
+  shared_context — one unit per agent plus fixed background text; put that text in
+                   the op's context slot.
+Record your choice in the op's strategy slot."""
+
+# Heuristic instruction templates, used whenever no planner LM is available
+# (and as the base the LM draft refines). The filter template bakes in the
+# VERDICT wire format the pipeline's parser expects.
+_HEURISTIC_TEMPLATES = {
+    MAP: "For this shard, complete the task: {task}",
+    FILTER: (
+        "Decide whether this shard is relevant to the task: {task}."
+        " End your reply with a line 'VERDICT: KEEP' or 'VERDICT: DROP'."
+    ),
+    REDUCE: "Combine the per-shard results into a single coherent answer for the task: {task}",
+}
 
 
-def _planner_system(ops: Sequence[str]) -> str:
-    wanted = "\n".join(f"- {_OP_GUIDE[op]}" for op in ops if op in _OP_GUIDE)
-    strategy = f"\n\n{_STRATEGY_GUIDE}" if any(op in (MAP, FILTER) for op in ops) else ""
-    return (
-        "You are a planner for an agentic map-reduce system. Given a user's high-level "
-        "task and a sample of the corpus, produce concrete, self-contained instructions "
-        "for exactly the following pipeline ops (in order), plus shard_size (units per "
-        "shard) and parallelism (agents to run concurrently):\n"
-        f"{wanted}{strategy}"
+def heuristic_instruction(op: str, task: str) -> str:
+    """A serviceable instruction when no planner LM is available."""
+    return _HEURISTIC_TEMPLATES.get(op, "{task}").format(task=task)
+
+
+def fallback_plan(task: str, ops: Sequence[str], overrides: dict[str, str], cap: int) -> Plan:
+    """The always-available heuristic plan (also the base the LM refines)."""
+    return Plan(
+        ops=list(ops),
+        instructions={op: overrides.get(op) or heuristic_instruction(op, task) for op in ops},
+        shard_size=1,
+        parallelism=min(4, cap),
     )
 
 
-def _corpus_stats(corpus: "Corpus") -> str:
-    lengths = [len(u.content) for u in corpus.units] or [0]
+def _planner_brief(ops: Sequence[str]) -> str:
+    lines = [
+        "You plan work for an agentic map-reduce system. From the user's task and a",
+        "corpus sample, write concrete self-contained instructions for exactly these",
+        "pipeline ops (in order), and pick shard_size (units per shard) plus",
+        "parallelism (concurrent agents):",
+    ]
+    lines += [f"  - {_INSTRUCTION_BRIEF[op]}" for op in ops if op in _INSTRUCTION_BRIEF]
+    if any(op in (MAP, FILTER) for op in ops):
+        lines += ["", _STRATEGY_BRIEF]
+    return "\n".join(lines)
+
+
+def _describe_corpus(corpus: "Corpus") -> str:
+    sizes = [len(u.content) for u in corpus.units] or [0]
+    head = "\n---\n".join(u.content[:500] for u in corpus.sample(3))
     return (
-        f"{len(corpus)} units total; content length min={min(lengths)}, "
-        f"max={max(lengths)}, mean={sum(lengths) // len(lengths)} chars."
+        f"CORPUS STATS: {len(corpus)} units; content chars "
+        f"min={min(sizes)} max={max(sizes)} mean={sum(sizes) // len(sizes)}.\n\n"
+        f"CORPUS SAMPLE:\n{head}"
     )
 
 
-def _heuristic_instruction(op: str, task: str) -> str:
-    if op == MAP:
-        return f"For this shard, complete the task: {task}"
-    if op == FILTER:
-        return (
-            f"Decide whether this shard is relevant to the task: {task}. "
-            "End your reply with a line 'VERDICT: KEEP' or 'VERDICT: DROP'."
-        )
-    if op == REDUCE:
-        return f"Combine the per-shard results into a single coherent answer for the task: {task}"
-    return task
+def _graft_draft(plan: Plan, draft: _Draft, ops: Sequence[str], overrides: dict[str, str], cap: int) -> None:
+    """Overlay usable draft fields onto the heuristic plan, in place."""
+    for op in ops:
+        slot: _OpDraft | None = getattr(draft, op, None)
+        if overrides.get(op):
+            plan.instructions[op] = overrides[op]
+        elif slot is not None and slot.instruction:
+            plan.instructions[op] = slot.instruction
+        if slot is None:
+            continue
+        strategy = (slot.strategy or "").strip().lower()
+        if strategy in STRATEGIES:
+            plan.strategies[op] = strategy
+        if slot.context:
+            plan.contexts[op] = slot.context
+    plan.shard_size = max(1, draft.shard_size)
+    plan.parallelism = min(max(1, draft.parallelism), cap)
 
 
 def derive_plan(
@@ -115,17 +158,12 @@ def derive_plan(
     overrides: dict[str, str] | None = None,
     parallelism_cap: int = DEFAULT_PARALLELISM_CAP,
 ) -> Plan:
-    """Derive a Plan via the LM planner, falling back to heuristics."""
-    ops = list(ops) if ops is not None else list(DEFAULT_OPS)
-    overrides = dict(overrides or {})
+    """Produce a Plan for ``task`` over ``corpus``; LM-refined when possible."""
+    ops = list(DEFAULT_OPS) if ops is None else list(ops)
+    overrides = {**(overrides or {})}
+    plan = fallback_plan(task, ops, overrides, parallelism_cap)
 
-    plan = Plan(
-        ops=list(ops),
-        instructions={op: overrides.get(op) or _heuristic_instruction(op, task) for op in ops},
-        shard_size=1,
-        parallelism=min(4, parallelism_cap),
-    )
-
+    # Fully overridden pipelines need no LM round-trip.
     if all(op in overrides for op in ops):
         return plan
 
@@ -136,24 +174,17 @@ def derive_plan(
     if lm is None:
         return plan
 
-    sample = "\n---\n".join(u.content[:500] for u in corpus.sample(3))
-    prompt = f"TASK:\n{task}\n\nCORPUS STATS: {_corpus_stats(corpus)}\n\nCORPUS SAMPLE:\n{sample}"
     try:
-        draft = lm.get_completion(_planner_system(ops), prompt, response_format=_PlanDraft, show_progress_bar=False)
-        for op in ops:
-            derived = getattr(draft, f"{op}_instruction", None)
-            plan.instructions[op] = overrides.get(op) or derived or _heuristic_instruction(op, task)
-            strategy = (getattr(draft, f"{op}_strategy", None) or "").strip().lower()
-            if strategy in STRATEGIES:
-                plan.strategies[op] = strategy
-            context = getattr(draft, f"{op}_context", None)
-            if context:
-                plan.contexts[op] = context
-        plan.shard_size = max(1, draft.shard_size)
-        plan.parallelism = max(1, min(draft.parallelism, parallelism_cap))
-    except Exception:  # planning is best-effort
+        draft = lm.get_completion(
+            _planner_brief(ops),
+            f"TASK:\n{task}\n\n{_describe_corpus(corpus)}",
+            response_format=_Draft,
+            show_progress_bar=False,
+        )
+        _graft_draft(plan, draft, ops, overrides, parallelism_cap)
+    except Exception:  # planning is best-effort; keep the heuristic plan
         pass
     return plan
 
 
-__all__ = ["Plan", "derive_plan", "DEFAULT_PARALLELISM_CAP", "STRATEGIES"]
+__all__ = ["Plan", "derive_plan", "fallback_plan", "heuristic_instruction", "DEFAULT_PARALLELISM_CAP", "STRATEGIES"]

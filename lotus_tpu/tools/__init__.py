@@ -1,4 +1,13 @@
-from lotus_tpu.tools.base import Tool, tool
-from lotus_tpu.tools.repl import DockerSandbox, ExecResult, LocalSandbox, PythonREPLTool, Sandbox
+from lotus_tpu.tools.base import FunctionTool, Tool, signature_model, tool
+from lotus_tpu.tools.repl import DockerSandbox, LocalSandbox, PythonREPLTool, Sandbox
 
-__all__ = ["Tool", "tool", "PythonREPLTool", "LocalSandbox", "DockerSandbox", "Sandbox", "ExecResult"]
+__all__ = [
+    "Tool",
+    "tool",
+    "FunctionTool",
+    "signature_model",
+    "PythonREPLTool",
+    "LocalSandbox",
+    "DockerSandbox",
+    "Sandbox",
+]

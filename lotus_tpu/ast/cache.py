@@ -1,8 +1,14 @@
-"""Content-addressable cache keys for LazyFrame execution.
+"""Fingerprints for plan-level caching.
 
-Parity target: ``lotus/ast/cache.py:17-92``: DataFrames hash by content,
-callables and LazyFrames by identity, nodes by normalized field values; the
-runner's key is ``NodeType:node_hash:input_hash``.
+Role parity with ``lotus/ast/cache.py`` (content-addressed keys for the
+LazyFrame runner), with its own encoding scheme: every value is lowered to a
+canonical printable form by a *type-dispatch table* (:data:`_LOWERING`), then
+digested with blake2b. DataFrames fingerprint by content; callables and
+LazyFrame references by identity (so shared objects reuse entries within a
+session); node configs by their normalised field map.
+
+Keys are session-scoped — they never leave the process, so the scheme is
+free to change between versions.
 """
 
 from __future__ import annotations
@@ -11,68 +17,90 @@ import dataclasses
 import enum
 import hashlib
 import pickle
-from typing import Any
+from typing import Any, Callable
 
 import pandas as pd
-from pydantic import BaseModel as PydanticBaseModel
+from pydantic import BaseModel as _Model
 
 from lotus_tpu.ast.nodes import BaseNode
 
+_DIGEST_CHARS = 16
+
+
+def _digest(payload: bytes) -> str:
+    return hashlib.blake2b(payload, digest_size=16).hexdigest()[:_DIGEST_CHARS]
+
 
 def hash_dataframe(df: pd.DataFrame) -> str:
-    """Stable content hash (values, dtypes, labels, ordering, attrs)."""
-    payload = pickle.dumps(df, protocol=pickle.HIGHEST_PROTOCOL)
-    return hashlib.md5(payload).hexdigest()[:16]
+    """Content fingerprint covering values, dtypes, labels, order, attrs."""
+    return _digest(pickle.dumps(df, protocol=pickle.HIGHEST_PROTOCOL))
 
 
-def _hashable_value(value: Any) -> Any:
+# ---------------------------------------------------------------- lowering
+# Ordered (predicate, encoder) table; first match wins. Encoders return a
+# canonical repr-able value, recursing through ``_lower`` for containers.
+
+
+def _lower(value: Any) -> Any:
+    for matches, encode in _LOWERING:
+        if matches(value):
+            return encode(value)
+    # Last resort: identity (stable within the session, which is all we need).
+    return ("?", type(value).__name__, id(value))
+
+
+def _lower_mapping(d: dict) -> tuple:
+    entries = ((_lower(k), _lower(v)) for k, v in d.items())
+    return ("dict",) + tuple(sorted(entries, key=repr))
+
+
+def _is_dataclass_obj(v: Any) -> bool:
+    return dataclasses.is_dataclass(v) and not isinstance(v, type)
+
+
+def _is_lazyframe(v: Any) -> bool:
     from lotus_tpu.ast.lazyframe import LazyFrame
 
-    if value is None:
-        return None
-    if isinstance(value, enum.Enum):
-        return ("_enum", type(value).__name__, value.name)
-    if isinstance(value, PydanticBaseModel):
-        return ("_pydantic", type(value).__name__, _hashable_value(value.model_dump(mode="python")))
-    if dataclasses.is_dataclass(value) and not isinstance(value, type):
-        return ("_dataclass", type(value).__name__, _hashable_value(dataclasses.asdict(value)))
-    if callable(value) and not isinstance(value, type):
-        return ("_id", id(value))
-    if isinstance(value, LazyFrame):
-        return ("_lf", id(value))
-    if isinstance(value, BaseNode):
-        return ("_node", hash_node(value))
-    if isinstance(value, pd.DataFrame):
-        return ("_df", hash_dataframe(value))
-    if isinstance(value, (str, int, float, bool)):
-        return value
-    if isinstance(value, (set, frozenset)):
-        return ("_set", tuple(sorted((_hashable_value(v) for v in value), key=repr)))
-    if isinstance(value, (list, tuple)):
-        return tuple(_hashable_value(v) for v in value)
-    if isinstance(value, dict):
-        items = [(_hashable_value(k), _hashable_value(v)) for k, v in value.items()]
-        return tuple(sorted(items, key=lambda kv: repr(kv[0])))
-    return ("_other", type(value).__name__, id(value))
+    return isinstance(v, LazyFrame)
 
 
+_LOWERING: list[tuple[Callable[[Any], bool], Callable[[Any], Any]]] = [
+    (lambda v: v is None, lambda v: None),
+    # bool before int (bool is an int subclass) — scalars pass through.
+    (lambda v: isinstance(v, (bool, int, float, str)), lambda v: v),
+    (lambda v: isinstance(v, enum.Enum), lambda v: ("enum", type(v).__name__, v.name)),
+    (lambda v: isinstance(v, _Model), lambda v: ("model", type(v).__name__, _lower(v.model_dump(mode="python")))),
+    (_is_dataclass_obj, lambda v: ("dc", type(v).__name__, _lower(dataclasses.asdict(v)))),
+    (_is_lazyframe, lambda v: ("lf@", id(v))),
+    (lambda v: isinstance(v, BaseNode), lambda v: ("node", hash_node(v))),
+    (lambda v: isinstance(v, pd.DataFrame), lambda v: ("df", hash_dataframe(v))),
+    (lambda v: callable(v) and not isinstance(v, type), lambda v: ("fn@", id(v))),
+    (lambda v: isinstance(v, (set, frozenset)), lambda v: ("set",) + tuple(sorted((_lower(x) for x in v), key=repr))),
+    (lambda v: isinstance(v, (list, tuple)), lambda v: ("seq",) + tuple(_lower(x) for x in v)),
+    (lambda v: isinstance(v, dict), _lower_mapping),
+]
+
+
+# ----------------------------------------------------------------- surface
 def hash_node(node: BaseNode) -> str:
-    """Stable hash of a node's configuration."""
-    parts = [(name, _hashable_value(value)) for name, value in node.model_dump().items()]
-    return hashlib.md5(str(sorted(parts)).encode()).hexdigest()[:16]
+    """Fingerprint of a node's configuration (field names + lowered values)."""
+    lowered = sorted((name, _lower(v)) for name, v in node.model_dump().items())
+    return _digest(repr(lowered).encode())
 
 
 def compute_cache_key(node: BaseNode, input_hash: str) -> str:
+    """The runner's cache key: node type, node config, and input lineage."""
     return f"{type(node).__name__}:{hash_node(node)}:{input_hash}"
 
 
 def hash_result(result: Any) -> str:
+    """Fingerprint an execution result (DataFrame, Series-like, or scalar)."""
     if isinstance(result, pd.DataFrame):
         return hash_dataframe(result)
     if hasattr(result, "__len__") and not isinstance(result, str):
         try:
-            h = pd.util.hash_pandas_object(result, index=True).sum()
-            return hashlib.md5(f"{type(result).__name__}:{h}".encode()).hexdigest()[:16]
+            rowhash = pd.util.hash_pandas_object(result, index=True).sum()
+            return _digest(f"{type(result).__name__}={rowhash}".encode())
         except (TypeError, AttributeError):
             pass
-    return hashlib.md5(str(hash(str(result))).encode()).hexdigest()[:16]
+    return _digest(repr(result).encode())

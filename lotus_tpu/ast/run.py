@@ -1,132 +1,151 @@
-"""LazyFrame execution engine with shared content-addressable caching.
+"""LazyFrame executor.
 
-Parity target: ``lotus/ast/run.py:24-176``.  Sequential node walk; a
-recursive resolver materialises nested LazyFrame references through
-sub-runs that share this run's cache and stats.
+Role parity with ``lotus/ast/run.py`` (walk the node chain, memoise node
+outputs content-addressably, materialise nested LazyFrame references), with
+a different execution shape: the walk threads a single :class:`_Staged`
+value (payload + fingerprint) through :meth:`_step`, and every cache
+interaction lives in one place (:meth:`_memo`). Nested references resolve
+through child runs that *share* this run's cache and hit/miss counters, so
+a sub-pipeline referenced twice executes once.
 """
 
 from __future__ import annotations
 
-from typing import Any
+from dataclasses import dataclass
+from typing import Any, Callable
 
 import pandas as pd
 
-from lotus_tpu.cache import Cache, CacheFactory
-
 from lotus_tpu.ast.cache import compute_cache_key, hash_dataframe, hash_result
 from lotus_tpu.ast.lazyframe import LazyFrame
-from lotus_tpu.ast.nodes import ApplyFnNode, SourceNode
+from lotus_tpu.ast.nodes import ApplyFnNode, BaseNode, SourceNode
+from lotus_tpu.cache import Cache, CacheFactory
+
+_NO_SOURCE = "__no_source__"
+
+
+@dataclass
+class _Staged:
+    """The value flowing between nodes, with its content fingerprint."""
+
+    payload: Any = None
+    fingerprint: str = ""
 
 
 class LazyFrameRun:
-    """One execution of a LazyFrame.
-
-    Example::
-
-        run = lf.run(df)
-        out = run.execute()
-        run.cache_stats  # {'hits': 2, 'misses': 4}
-    """
+    """One execution of a LazyFrame: ``lf.run(df).execute()``; hit/miss
+    counters are readable afterwards via :attr:`cache_stats`."""
 
     def __init__(
-        self,
-        lazyframe: LazyFrame,
-        inputs: "pd.DataFrame | dict[LazyFrame, pd.DataFrame]",
-        *,
-        cache: Cache | None = None,
-        node_runtime_configs: dict[str, Any] | None = None,
+        self, lazyframe: LazyFrame, inputs: "pd.DataFrame | dict[LazyFrame, pd.DataFrame]", *,
+        cache: Cache | None = None, node_runtime_configs: dict[str, Any] | None = None,
         cache_stats: dict[str, int] | None = None,
     ) -> None:
         self._lazyframe = lazyframe
         self._inputs: dict[LazyFrame, pd.DataFrame] = (
             inputs if isinstance(inputs, dict) else {lazyframe: inputs}
         )
-        self._content_cache = cache or CacheFactory.create_default_cache(max_size=10_000)
-        self._cache_stats = cache_stats if cache_stats is not None else {"hits": 0, "misses": 0}
-        self._node_runtime_configs = node_runtime_configs or {}
+        self._memo_store = cache if cache is not None else CacheFactory.create_default_cache(max_size=10_000)
+        self._tally = cache_stats if cache_stats is not None else {"hits": 0, "misses": 0}
+        self._runtime_configs = node_runtime_configs or {}
 
     @property
     def cache_stats(self) -> dict[str, int]:
-        return dict(self._cache_stats)
+        return dict(self._tally)
 
-    # ----------------------------------------------------------- resolution
-    def _resolve_ref(self, ref: Any) -> Any:
-        """Recursively materialise LazyFrame / SourceNode references."""
-        if isinstance(ref, LazyFrame):
-            return LazyFrameRun(
-                ref,
-                self._inputs,
-                cache=self._content_cache,
-                node_runtime_configs=self._node_runtime_configs,
-                cache_stats=self._cache_stats,
-            ).execute()
-        if isinstance(ref, SourceNode):
-            return self._run_source(ref)
-        if isinstance(ref, list):
-            return [self._resolve_ref(v) for v in ref]
-        if isinstance(ref, tuple):
-            return tuple(self._resolve_ref(v) for v in ref)
-        if isinstance(ref, dict):
-            return {k: self._resolve_ref(v) for k, v in ref.items()}
-        return ref
+    @property
+    def cache(self) -> Cache:
+        """The content-addressed store backing this run (shareable across runs)."""
+        return self._memo_store
 
-    def _source_df(self, node: SourceNode) -> pd.DataFrame | None:
-        df = self._inputs.get(node.lazyframe_ref) if node.lazyframe_ref is not None else None
-        if df is None and node.df is not None:
-            # A bound df beats the single-input convenience — otherwise a
-            # nested bound LazyFrame (e.g. a join's right side) would silently
-            # receive the outer pipeline's input.
-            return None
-        if df is None and len(self._inputs) == 1:
-            df = next(iter(self._inputs.values()))
-        return df
+    # -------------------------------------------------------------- sources
+    def _input_for(self, node: SourceNode) -> pd.DataFrame | None:
+        """Which run input feeds this source, if any.
 
-    def _source_hash(self, node: SourceNode) -> str:
-        df = self._source_df(node)
-        if df is not None:
-            return hash_dataframe(df)
+        An explicitly bound df wins over the single-input convenience:
+        a nested bound LazyFrame (e.g. a join's right side) must not
+        silently receive the outer pipeline's input.
+        """
+        if node.lazyframe_ref is not None:
+            bound = self._inputs.get(node.lazyframe_ref)
+            if bound is not None:
+                return bound
         if node.df is not None:
-            return hash_dataframe(node.df)
-        return "__no_source__"
+            return None
+        if len(self._inputs) == 1:
+            return next(iter(self._inputs.values()))
+        return None
 
-    def _run_source(self, node: SourceNode) -> pd.DataFrame:
-        df = self._source_df(node)
-        if df is not None:
-            return node(df)
+    def _emit_source(self, node: SourceNode) -> pd.DataFrame:
+        fed = self._input_for(node)
+        if fed is not None:
+            return node(fed)
         if node.df is not None:
             return node()
         raise ValueError("No DataFrame provided for source")
 
-    # ------------------------------------------------------------ main loop
+    def _source_fingerprint(self, node: SourceNode) -> str:
+        fed = self._input_for(node)
+        if fed is not None:
+            return hash_dataframe(fed)
+        return hash_dataframe(node.df) if node.df is not None else _NO_SOURCE
+
+    # ------------------------------------------------------------ resolution
+    def _child_run(self, ref: LazyFrame) -> Any:
+        """Execute a nested LazyFrame against the same cache + counters."""
+        return LazyFrameRun(
+            ref,
+            self._inputs,
+            cache=self._memo_store,
+            node_runtime_configs=self._runtime_configs,
+            cache_stats=self._tally,
+        ).execute()
+
+    def _resolve_ref(self, ref: Any) -> Any:
+        """Materialise LazyFrame / SourceNode references, through containers."""
+        if isinstance(ref, LazyFrame):
+            return self._child_run(ref)
+        if isinstance(ref, SourceNode):
+            return self._emit_source(ref)
+        if isinstance(ref, (list, tuple)):
+            resolved = [self._resolve_ref(v) for v in ref]
+            return type(ref)(resolved)
+        if isinstance(ref, dict):
+            return {k: self._resolve_ref(v) for k, v in ref.items()}
+        return ref
+
+    # ------------------------------------------------------------- stepping
+    def _memo(self, key: str, produce: Callable[[], Any]) -> Any:
+        held = self._memo_store.get(key)
+        if held is not None:
+            self._tally["hits"] += 1
+            return held
+        self._tally["misses"] += 1
+        fresh = produce()
+        self._memo_store.insert(key, fresh)
+        return fresh
+
+    def _step(self, staged: _Staged, node: BaseNode) -> _Staged:
+        if isinstance(node, SourceNode):
+            key = compute_cache_key(node, self._source_fingerprint(node))
+            out = self._memo(key, lambda: self._emit_source(node))
+        else:
+            if staged.payload is None and not isinstance(node, ApplyFnNode):
+                raise ValueError(
+                    "LazyFrame has no source node. Use LazyFrame() so the pipeline "
+                    "has a source by default, or ensure the first node is a source."
+                )
+            key = compute_cache_key(node, staged.fingerprint)
+            out = self._memo(key, lambda: node(staged.payload, self._resolve_ref, **self._runtime_configs))
+        return _Staged(out, hash_result(out))
+
     def execute(self) -> Any:
-        current: Any = None
-        current_hash = ""
+        staged = _Staged()
         for node in self._lazyframe._nodes:
-            input_hash = self._source_hash(node) if isinstance(node, SourceNode) else current_hash
-            key = compute_cache_key(node, input_hash)
-            cached = self._content_cache.get(key)
-            if cached is not None:
-                self._cache_stats["hits"] += 1
-                current = cached
-                current_hash = hash_result(current)
-                continue
-            self._cache_stats["misses"] += 1
+            staged = self._step(staged, node)
+        return staged.payload
 
-            if isinstance(node, SourceNode):
-                current = self._run_source(node)
-            else:
-                if current is None and not isinstance(node, ApplyFnNode):
-                    raise ValueError(
-                        "LazyFrame has no source node. Use LazyFrame() so the pipeline "
-                        "has a source by default, or ensure the first node is a source."
-                    )
-                current = node(current, self._resolve_ref, **self._node_runtime_configs)
-
-            self._content_cache.insert(key, current)
-            current_hash = hash_result(current)
-        return current
-
-    # ----------------------------------------------------------- conveniences
+    # --------------------------------------------------------- conveniences
     def __getattr__(self, name: str) -> Any:
         if name.startswith("_"):
             raise AttributeError(f"'{type(self).__name__}' object has no attribute '{name}'")

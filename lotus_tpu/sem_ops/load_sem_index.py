@@ -1,28 +1,21 @@
-"""load_sem_index accessor (parity: ``lotus/sem_ops/load_sem_index.py:6-51``).
+"""load_sem_index: attach a previously built index to a DataFrame.
 
-Only records the on-disk index directory in ``df.attrs`` so a previously
-built index resumes instantly; the store loads lazily at first search.
+Role parity with ``lotus/sem_ops/load_sem_index.py``: nothing is read from
+disk here — the accessor just records the column→directory mapping in
+``df.attrs["index_dirs"]`` and the vector store opens it lazily on first
+search (see ``sem_search`` / ``sem_sim_join``).
 """
 
 from __future__ import annotations
 
-from typing import Any
-
 import pandas as pd
+
+from lotus_tpu.sem_ops._accessor import SemAccessor
 
 
 @pd.api.extensions.register_dataframe_accessor("load_sem_index")
-class LoadSemIndexDataframe:
-    def __init__(self, pandas_obj: Any):
-        self._validate(pandas_obj)
-        self._obj = pandas_obj
-        self._obj.attrs.setdefault("index_dirs", {})
-
-    @staticmethod
-    def _validate(obj: Any) -> None:
-        if not isinstance(obj, pd.DataFrame):
-            raise AttributeError("Must be a DataFrame")
-
+class LoadSemIndexDataframe(SemAccessor):
     def __call__(self, col_name: str, index_dir: str) -> pd.DataFrame:
-        self._obj.attrs["index_dirs"][col_name] = index_dir
+        registry = self._obj.attrs.setdefault("index_dirs", {})
+        registry[col_name] = index_dir
         return self._obj

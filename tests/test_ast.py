@@ -58,7 +58,7 @@ def test_run_cache_hits():
     run = lf.run(df)
     run.execute()
     assert run.cache_stats["misses"] > 0
-    run2 = lf.run(df, cache=run._content_cache)
+    run2 = lf.run(df, cache=run.cache)
     run2.execute()
     assert run2.cache_stats["hits"] >= 2  # source + op both cached
 

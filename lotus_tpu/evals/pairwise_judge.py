@@ -1,9 +1,15 @@
-"""pairwise_judge: A-vs-B comparison judging built on sem_filter.
+"""pairwise_judge: row-wise A-vs-B comparison, built on the filter operator.
 
-Parity target: ``lotus/evals/pairwise_judge.py:27-251`` — n-trial A/B
-judging, optional column permutation across trials (answers re-mapped so "A"
-always refers to col1), collision-safe A/B label columns, and optional
-filter-cascade via CascadeArgs.
+Role parity with ``lotus/evals/pairwise_judge.py``: n-trial A/B judging with
+optional order permutation (half the trials see the columns swapped, and
+their answers are re-mapped so "A" always denotes ``col1``), collision-safe
+A/B label columns, and optional cascade acceleration via ``CascadeArgs``.
+
+Rebuilt here as three separate concerns: label/instruction preparation
+(:func:`_ab_labels`, :func:`_ab_instruction`), the single-order trial runner
+(:meth:`_judge_one_order`), and the permutation wrapper
+(:meth:`_judge_both_orders`) which recurses through the public accessor with
+swapped columns and inverted thresholds.
 """
 
 from __future__ import annotations
@@ -15,191 +21,167 @@ from typing import Any
 import pandas as pd
 
 from lotus_tpu.cache import operator_cache
-from lotus_tpu.types import CascadeArgs, ReasoningStrategy
+from lotus_tpu.sem_ops._accessor import SemAccessor
+from lotus_tpu.types import CascadeArgs
+
+_FREE_TEXT_PREFIXES = ("raw_output", "explanation")  # never remapped A<->B
 
 
-def _unique_col_names(existing_columns: pd.Index) -> tuple[str, str]:
-    """Pick A / B column names that don't collide with existing columns."""
-    if "A" not in existing_columns and "B" not in existing_columns:
-        return "A", "B"
-    i = 1
+def _ab_labels(taken: pd.Index) -> tuple[str, str]:
+    """Two label column names guaranteed absent from the frame."""
+    n = 0
     while True:
-        a, b = f"A{i}", f"B{i}"
-        if a not in existing_columns and b not in existing_columns:
+        a, b = ("A", "B") if n == 0 else (f"A{n}", f"B{n}")
+        if a not in taken and b not in taken:
             return a, b
-        i += 1
+        n += 1
+
+
+def _ab_instruction(judge_instruction: str, col1: str, col2: str, a: str, b: str) -> tuple[str, str]:
+    """(system prompt, filter instruction) for one A/B direction."""
+    system = (
+        "You are an expert evaluator. You will be given two responses and must judge "
+        f"which is better based on specified criteria. Output {a} if the first response "
+        f"is better than the second, {b} otherwise."
+    )
+    criteria = judge_instruction.replace(f"{{{col1}}}", f"{{{a}}}").replace(f"{{{col2}}}", f"{{{b}}}")
+    ask = (
+        f"{{{a}}} is better than {{{b}}} given the criteria: {criteria}. "
+        f"Output {a} if {{{a}}} is better than {{{b}}}, {b} otherwise."
+    )
+    return system, ask
+
+
+def _invert_cascade(args: CascadeArgs | None) -> CascadeArgs | None:
+    """Thresholds for the swapped direction (proxy polarity flips)."""
+    if args is None:
+        return None
+    flipped = args.model_copy(deep=True)
+    if flipped.filter_pos_cascade_threshold is not None and flipped.filter_neg_cascade_threshold is not None:
+        flipped.filter_pos_cascade_threshold = 1 - flipped.filter_pos_cascade_threshold
+        flipped.filter_neg_cascade_threshold = 1 - flipped.filter_neg_cascade_threshold
+    return flipped
+
+
+def _split_stats(out: "pd.DataFrame | tuple[pd.DataFrame, Any]") -> tuple[pd.DataFrame, Any]:
+    return out if isinstance(out, tuple) else (out, None)
+
+
+def _remap_verdicts(df: pd.DataFrame, mapping: dict) -> None:
+    """Remap verdict columns in place, skipping free-text companions."""
+    for name in df.columns:
+        if not str(name).startswith(_FREE_TEXT_PREFIXES):
+            df[name] = df[name].map(mapping)
 
 
 @pd.api.extensions.register_dataframe_accessor("pairwise_judge")
-class PairwiseJudgeDataframe:
+class PairwiseJudgeDataframe(SemAccessor):
     """Judge col1 vs col2 per row: outputs "A" (col1 wins) or "B" per trial."""
-
-    def __init__(self, pandas_obj: Any):
-        self._validate(pandas_obj)
-        self._obj = pandas_obj
-
-    @staticmethod
-    def _validate(obj: Any) -> None:
-        if not isinstance(obj, pd.DataFrame):
-            raise AttributeError("Must be a DataFrame")
 
     @operator_cache
     def __call__(
-        self,
-        col1: str,
-        col2: str,
-        judge_instruction: str,
-        n_trials: int = 1,
-        permute_cols: bool = False,
-        system_prompt: str | None = None,
-        return_raw_outputs: bool = False,
-        return_explanations: bool = False,
-        default_to_col1: bool = True,
-        suffix: str = "_judge",
-        examples: pd.DataFrame | None = None,
-        helper_examples: pd.DataFrame | None = None,
-        strategy: ReasoningStrategy | None = None,
-        cascade_args: CascadeArgs | None = None,
-        return_stats: bool = False,
-        safe_mode: bool = False,
-        progress_bar_desc: str = "Evaluating",
-        additional_cot_instructions: str = "",
+        self, col1: str, col2: str, judge_instruction: str, n_trials: int = 1,
+        permute_cols: bool = False, system_prompt: str | None = None,
+        return_raw_outputs: bool = False, return_explanations: bool = False,
+        default_to_col1: bool = True, suffix: str = "_judge",
+        examples: pd.DataFrame | None = None, helper_examples: pd.DataFrame | None = None,
+        strategy: Any = None, cascade_args: CascadeArgs | None = None,
+        return_stats: bool = False, safe_mode: bool = False,
+        progress_bar_desc: str = "Evaluating", additional_cot_instructions: str = "",
         **model_kwargs: Any,
-    ) -> pd.DataFrame | tuple[pd.DataFrame, Any]:
-        from lotus_tpu.settings import settings
+    ) -> "pd.DataFrame | tuple[pd.DataFrame, Any]":
+        self._lm()  # fail fast if unconfigured
 
-        if settings.lm is None:
-            raise ValueError("Configure a language model via lotus_tpu.settings.configure(lm=...)")
-
+        shared = dict(
+            judge_instruction=judge_instruction, system_prompt=system_prompt,
+            return_raw_outputs=return_raw_outputs, return_explanations=return_explanations,
+            examples=examples, helper_examples=helper_examples, strategy=strategy,
+            return_stats=return_stats, safe_mode=safe_mode, progress_bar_desc=progress_bar_desc,
+            additional_cot_instructions=additional_cot_instructions, **model_kwargs,
+        )
         if permute_cols:
             if n_trials % 2:
                 raise ValueError("Number of trials should be even when permute cols is True")
-            outputs: list[pd.DataFrame] = []
-            all_stats: list[Any] = []
-            for c1, c2 in ((col1, col2), (col2, col1)):
-                trial_args = cascade_args.model_copy(deep=True) if cascade_args is not None else None
-                if (
-                    c1 != col1
-                    and trial_args is not None
-                    and trial_args.filter_pos_cascade_threshold is not None
-                    and trial_args.filter_neg_cascade_threshold is not None
-                ):
-                    # Swapped columns invert the proxy's positive direction.
-                    trial_args.filter_pos_cascade_threshold = 1 - trial_args.filter_pos_cascade_threshold
-                    trial_args.filter_neg_cascade_threshold = 1 - trial_args.filter_neg_cascade_threshold
-
-                out = self._obj.pairwise_judge(
-                    col1=c1,
-                    col2=c2,
-                    judge_instruction=judge_instruction,
-                    n_trials=n_trials // 2,
-                    permute_cols=False,
-                    system_prompt=system_prompt,
-                    return_raw_outputs=return_raw_outputs,
-                    return_explanations=return_explanations,
-                    suffix=f"{suffix}_{c1}_{c2}",
-                    examples=examples,
-                    strategy=strategy,
-                    safe_mode=safe_mode,
-                    progress_bar_desc=progress_bar_desc,
-                    default_to_col1=default_to_col1 if c1 == col1 else not default_to_col1,
-                    helper_examples=helper_examples,
-                    cascade_args=trial_args,
-                    return_stats=return_stats,
-                    additional_cot_instructions=additional_cot_instructions,
-                    **model_kwargs,
-                )
-                if isinstance(out, tuple):
-                    out_df, stats = out
-                    all_stats.extend(stats)
-                else:
-                    out_df = out
-                out_df = out_df.drop(columns=self._obj.columns)
-                if c1 != col1:
-                    # Re-map so "A" always refers to col1.  Raw-output and
-                    # explanation columns hold free text — remapping them
-                    # would turn them into NaN.
-                    for col_name in out_df.columns:
-                        if col_name.startswith(("raw_output", "explanation")):
-                            continue
-                        out_df[col_name] = out_df[col_name].map({"A": "B", "B": "A"})
-                outputs.append(out_df)
-
-            new_df = self._obj.copy()
-            offset = 0
-            for out_df in outputs:
-                out_df = out_df.rename(
-                    columns={c: f"{suffix}_{offset + i}" for i, c in enumerate(out_df.columns)}
-                )
-                new_df = pd.concat([new_df, out_df], axis=1)
-                offset += len(out_df.columns)
-            if return_stats:
-                return new_df, all_stats
-            return new_df
-
-        name_a, name_b = _unique_col_names(self._obj.columns)
-        effective_system_prompt = system_prompt or (
-            "You are an expert evaluator. You will be given two responses and must judge "
-            f"which is better based on specified criteria. Output {name_a} if the first response "
-            f"is better than the second, {name_b} otherwise."
-        )
-        renamed_instr = judge_instruction.replace(f"{{{col1}}}", f"{{{name_a}}}").replace(
-            f"{{{col2}}}", f"{{{name_b}}}"
-        )
-        user_instruction = (
-            f"{{{name_a}}} is better than {{{name_b}}} given the criteria: "
-            f"{renamed_instr}. Output {name_a} if {{{name_a}}} is better "
-            f"than {{{name_b}}}, {name_b} otherwise."
+            return self._judge_both_orders(
+                col1, col2, n_trials, default_to_col1, suffix, cascade_args, **shared
+            )
+        return self._judge_one_order(
+            col1, col2, n_trials, default_to_col1, suffix, cascade_args, **shared
         )
 
-        def run_trial(i: int):
-            df_copy = copy.deepcopy(self._obj).rename(columns={col1: name_a, col2: name_b})
-            return df_copy.sem_filter(
-                user_instruction,
-                return_raw_outputs=return_raw_outputs,
-                return_explanations=return_explanations,
-                return_all=True,
-                default=default_to_col1,
-                suffix=f"{suffix}_{i}",
-                examples=examples,
-                helper_examples=helper_examples,
-                strategy=strategy,
-                cascade_args=cascade_args,
-                return_stats=return_stats,
-                safe_mode=safe_mode,
-                progress_bar_desc=progress_bar_desc,
-                additional_cot_instructions=additional_cot_instructions,
-                system_prompt=effective_system_prompt,
-                output_tokens=(name_a, name_b),
-                **model_kwargs,
+    # ------------------------------------------------------------ one order
+    def _judge_one_order(
+        self, col1: str, col2: str, n_trials: int, default_to_col1: bool, suffix: str,
+        cascade_args: CascadeArgs | None, *, judge_instruction: str, system_prompt: str | None,
+        **filter_kwargs: Any,
+    ) -> "pd.DataFrame | tuple[pd.DataFrame, Any]":
+        from lotus_tpu.settings import settings
+
+        a, b = _ab_labels(self._obj.columns)
+        default_system, ask = _ab_instruction(judge_instruction, col1, col2, a, b)
+        return_stats = filter_kwargs.get("return_stats", False)
+
+        def one_trial(i: int):
+            relabeled = copy.deepcopy(self._obj).rename(columns={col1: a, col2: b})
+            return relabeled.sem_filter(
+                ask, return_all=True, default=default_to_col1, suffix=f"{suffix}_{i}",
+                cascade_args=cascade_args, system_prompt=system_prompt or default_system,
+                output_tokens=(a, b), **filter_kwargs,
             )
 
-        # Global (not ContextVar) toggle so worker threads see it too.
-        original_enable_cache = settings.enable_cache
+        # Global (not ContextVar) cache toggle so worker threads see it too.
+        was_cached = settings.enable_cache
         settings.enable_cache = False
         try:
-            with ThreadPoolExecutor(max_workers=settings.parallel_groupby_max_threads) as ex:
-                trial_outputs = list(ex.map(run_trial, range(n_trials)))
+            with ThreadPoolExecutor(max_workers=settings.parallel_groupby_max_threads) as pool:
+                trials = list(pool.map(one_trial, range(n_trials)))
         finally:
-            settings.enable_cache = original_enable_cache
+            settings.enable_cache = was_cached
 
-        renamed_cols = set(self._obj.rename(columns={col1: name_a, col2: name_b}).columns)
-        all_stats = []
-        all_out_dfs: list[pd.DataFrame] = []
-        for out in trial_outputs:
-            if isinstance(out, tuple):
-                out_df, stats = out
-                all_stats.append(stats)
-            else:
-                out_df = out
-            out_df = out_df.drop(columns=[c for c in renamed_cols if c in out_df.columns])
-            for col_name in out_df.columns:
-                if col_name.startswith(("raw_output", "explanation")):
-                    continue
-                out_df[col_name] = out_df[col_name].map({True: "A", False: "B"})
-            all_out_dfs.append(out_df)
+        carried = set(self._obj.rename(columns={col1: a, col2: b}).columns)
+        stats_log, verdict_frames = [], []
+        for out in trials:
+            frame, stats = _split_stats(out)
+            if stats is not None:
+                stats_log.append(stats)
+            frame = frame.drop(columns=[c for c in carried if c in frame.columns])
+            _remap_verdicts(frame, {True: "A", False: "B"})
+            verdict_frames.append(frame)
 
-        new_df = pd.concat([self._obj.copy(), *all_out_dfs], axis=1)
-        if return_stats:
-            return new_df, all_stats
-        return new_df
+        merged = pd.concat([self._obj.copy(), *verdict_frames], axis=1)
+        return (merged, stats_log) if return_stats else merged
+
+    # ---------------------------------------------------------- both orders
+    def _judge_both_orders(
+        self, col1: str, col2: str, n_trials: int, default_to_col1: bool, suffix: str,
+        cascade_args: CascadeArgs | None, **shared: Any,
+    ) -> "pd.DataFrame | tuple[pd.DataFrame, Any]":
+        return_stats = shared.get("return_stats", False)
+        stats_log: list[Any] = []
+        verdict_frames: list[pd.DataFrame] = []
+
+        for c1, c2 in ((col1, col2), (col2, col1)):
+            forward = c1 == col1
+            out = self._obj.pairwise_judge(
+                col1=c1, col2=c2, n_trials=n_trials // 2, permute_cols=False,
+                suffix=f"{suffix}_{c1}_{c2}",
+                default_to_col1=default_to_col1 if forward else not default_to_col1,
+                cascade_args=cascade_args if forward else _invert_cascade(cascade_args),
+                **shared,
+            )
+            frame, stats = _split_stats(out)
+            if stats is not None:
+                stats_log.extend(stats)
+            frame = frame.drop(columns=self._obj.columns)
+            if not forward:
+                # Swapped trials: re-map so "A" always denotes col1.
+                _remap_verdicts(frame, {"A": "B", "B": "A"})
+            verdict_frames.append(frame)
+
+        merged = self._obj.copy()
+        k = 0
+        for frame in verdict_frames:
+            frame = frame.rename(columns={c: f"{suffix}_{k + i}" for i, c in enumerate(frame.columns)})
+            merged = pd.concat([merged, frame], axis=1)
+            k += len(frame.columns)
+        return (merged, stats_log) if return_stats else merged

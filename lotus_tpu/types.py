@@ -1,24 +1,30 @@
-"""Shared dataclasses, enums and exceptions for lotus_tpu.
+"""The shared type vocabulary of lotus_tpu.
 
-Mirrors the public type surface of the reference framework
-(``lotus/types.py:13-288``) without depending on litellm: token-logprob
-payloads are represented by our own ``TokenLogprob`` dataclass, which is
-duck-type compatible with litellm's ``ChatCompletionTokenLogprob``.
+Covers the same public surface as the reference framework's ``lotus/types.py``
+(every name an operator or model returns or accepts), organised differently:
+the per-operator output payloads derive from small shared bases instead of
+repeating field triples, usage accounting does its arithmetic generically
+over dataclass fields, and nothing here depends on litellm — token-logprob
+payloads use our own :class:`TokenLogprob`, duck-type compatible with
+litellm's ``ChatCompletionTokenLogprob``.
 """
 
 from __future__ import annotations
 
+import dataclasses
+import operator
 from dataclasses import dataclass, field
 from enum import Enum, auto
-from typing import Any, Literal
+from typing import Any, Callable, Literal
 
 import pandas as pd
 from pydantic import BaseModel, ConfigDict, model_validator
 
+# =========================================================================
+# Token-level LM outputs
+# =========================================================================
 
-################################################################################
-# LM related
-################################################################################
+
 @dataclass
 class TopLogprob:
     token: str
@@ -27,11 +33,7 @@ class TopLogprob:
 
 @dataclass
 class TokenLogprob:
-    """One generated token with its logprob and alternatives.
-
-    Duck-type compatible with litellm's ChatCompletionTokenLogprob
-    (fields: token, logprob, top_logprobs).
-    """
+    """One generated token: its logprob plus the top alternatives."""
 
     token: str
     logprob: float
@@ -42,58 +44,6 @@ class TokenLogprob:
 class LMOutput:
     outputs: list[str]
     logprobs: list[list[TokenLogprob]] | None = None
-
-
-@dataclass
-class LMStats:
-    """Reference: ``lotus/types.py:19-66`` — virtual vs physical usage."""
-
-    @dataclass
-    class TotalUsage:
-        prompt_tokens: int = 0
-        completion_tokens: int = 0
-        total_tokens: int = 0
-        total_cost: float = 0.0
-        # Prompt-cache hits, charged at a lower rate.
-        cached_prompt_tokens: int = 0
-        # Tokens spent creating the cache (one-time cost).
-        cache_creation_tokens: int = 0
-
-        def __add__(self, other: "LMStats.TotalUsage") -> "LMStats.TotalUsage":
-            return LMStats.TotalUsage(
-                prompt_tokens=self.prompt_tokens + other.prompt_tokens,
-                completion_tokens=self.completion_tokens + other.completion_tokens,
-                total_tokens=self.total_tokens + other.total_tokens,
-                total_cost=self.total_cost + other.total_cost,
-                cached_prompt_tokens=self.cached_prompt_tokens + other.cached_prompt_tokens,
-                cache_creation_tokens=self.cache_creation_tokens + other.cache_creation_tokens,
-            )
-
-        def __sub__(self, other: "LMStats.TotalUsage") -> "LMStats.TotalUsage":
-            return LMStats.TotalUsage(
-                prompt_tokens=self.prompt_tokens - other.prompt_tokens,
-                completion_tokens=self.completion_tokens - other.completion_tokens,
-                total_tokens=self.total_tokens - other.total_tokens,
-                total_cost=self.total_cost - other.total_cost,
-                cached_prompt_tokens=self.cached_prompt_tokens - other.cached_prompt_tokens,
-                cache_creation_tokens=self.cache_creation_tokens - other.cache_creation_tokens,
-            )
-
-    # Usage as if nothing were cached.
-    virtual_usage: TotalUsage = field(default_factory=TotalUsage)
-    # Actual usage with caching applied.
-    physical_usage: TotalUsage = field(default_factory=TotalUsage)
-
-    cache_hits: int = 0
-    operator_cache_hits: int = 0
-
-    def __add__(self, other: "LMStats") -> "LMStats":
-        return LMStats(
-            virtual_usage=self.virtual_usage + other.virtual_usage,
-            physical_usage=self.physical_usage + other.physical_usage,
-            cache_hits=self.cache_hits + other.cache_hits,
-            operator_cache_hits=self.operator_cache_hits + other.operator_cache_hits,
-        )
 
 
 @dataclass
@@ -109,49 +59,109 @@ class LogprobsForFilterCascade:
     confidences: list[list[float]]
 
 
-################################################################################
-# Semantic operation outputs
-################################################################################
+# =========================================================================
+# Usage accounting
+# =========================================================================
+
+
+def _fieldwise(a: Any, b: Any, op: Callable[[Any, Any], Any]) -> Any:
+    """Apply ``op`` to every dataclass field pairwise (same type in and out)."""
+    merged = {f.name: op(getattr(a, f.name), getattr(b, f.name)) for f in dataclasses.fields(a)}
+    return type(a)(**merged)
+
+
 @dataclass
-class SemanticMapPostprocessOutput:
+class LMStats:
+    """Token/cost accounting, split into virtual vs physical views.
+
+    *Virtual* usage counts every request as if nothing were cached — the
+    cost the workload represents. *Physical* usage is what actually hit the
+    provider after cache hits. (Same split as the reference's LMStats.)
+    """
+
+    @dataclass
+    class TotalUsage:
+        prompt_tokens: int = 0
+        completion_tokens: int = 0
+        total_tokens: int = 0
+        total_cost: float = 0.0
+        cached_prompt_tokens: int = 0  # prompt-cache hits, billed cheaper
+        cache_creation_tokens: int = 0  # one-time cache-write tokens
+
+        def __add__(self, other: "LMStats.TotalUsage") -> "LMStats.TotalUsage":
+            return _fieldwise(self, other, operator.add)
+
+        def __sub__(self, other: "LMStats.TotalUsage") -> "LMStats.TotalUsage":
+            return _fieldwise(self, other, operator.sub)
+
+    virtual_usage: TotalUsage = field(default_factory=TotalUsage)
+    physical_usage: TotalUsage = field(default_factory=TotalUsage)
+    cache_hits: int = 0
+    operator_cache_hits: int = 0
+
+    def __add__(self, other: "LMStats") -> "LMStats":
+        return _fieldwise(self, other, operator.add)
+
+
+@dataclass
+class UsageLimit:
+    prompt_tokens_limit: float = float("inf")
+    completion_tokens_limit: float = float("inf")
+    total_tokens_limit: float = float("inf")
+    total_cost_limit: float = float("inf")
+
+
+# =========================================================================
+# Operator output payloads
+# =========================================================================
+# Map/extract/filter postprocessing all produce the same (raw, parsed,
+# explanation) triple; only the parsed element type differs. The *Output
+# and *PostprocessOutput pairs are kept as distinct names for API parity.
+
+
+@dataclass
+class _TextTriple:
     raw_outputs: list[str]
     outputs: list[str]
     explanations: list[str | None]
 
 
 @dataclass
-class SemanticMapOutput:
-    raw_outputs: list[str]
-    outputs: list[str]
-    explanations: list[str | None]
-
-
-@dataclass
-class SemanticExtractPostprocessOutput:
+class _ExtractTriple:
     raw_outputs: list[str]
     outputs: list[dict[str, str]]
     explanations: list[str | None]
 
 
 @dataclass
-class SemanticExtractOutput:
-    raw_outputs: list[str]
-    outputs: list[dict[str, str]]
-    explanations: list[str | None]
-
-
-@dataclass
-class SemanticFilterPostprocessOutput:
+class _BoolTriple:
     raw_outputs: list[str]
     outputs: list[bool]
     explanations: list[str | None]
 
 
+class SemanticMapPostprocessOutput(_TextTriple):
+    pass
+
+
+class SemanticMapOutput(_TextTriple):
+    pass
+
+
+class SemanticExtractPostprocessOutput(_ExtractTriple):
+    pass
+
+
+class SemanticExtractOutput(_ExtractTriple):
+    pass
+
+
+class SemanticFilterPostprocessOutput(_BoolTriple):
+    pass
+
+
 @dataclass
-class SemanticFilterOutput:
-    raw_outputs: list[str]
-    outputs: list[bool]
-    explanations: list[str | None]
+class SemanticFilterOutput(_BoolTriple):
     stats: dict[str, Any] | None = None
     logprobs: list[list[TokenLogprob]] | None = None
 
@@ -159,13 +169,6 @@ class SemanticFilterOutput:
 @dataclass
 class SemanticAggOutput:
     outputs: list[str]
-
-
-class LongContextStrategy(Enum):
-    """Document-fitting strategies for aggregation over long inputs."""
-
-    TRUNCATE = auto()
-    CHUNK = auto()
 
 
 @dataclass
@@ -177,13 +180,79 @@ class SemanticJoinOutput:
     stats: dict[str, Any] | None = None
 
 
+@dataclass
+class SemanticTopKOutput:
+    indexes: list[int]
+    stats: dict[str, Any] | None = None
+
+
+# =========================================================================
+# Retrieval / reranking payloads
+# =========================================================================
+
+
+@dataclass
+class RMOutput:
+    """K-NN search payload: per-query scores and row positions.
+
+    Indices are row positions in the indexed collection; ``-1`` marks a
+    missing / padded hit (same contract as the reference).
+    """
+
+    distances: list[list[float]]
+    indices: list[list[int]]
+
+
+@dataclass
+class RerankerOutput:
+    indices: list[int]
+
+
+# =========================================================================
+# Strategy / configuration enums
+# =========================================================================
+
+
+class ReasoningStrategy(Enum):
+    DEFAULT = auto()
+    COT = auto()
+    ZS_COT = auto()
+    FEW_SHOT = auto()
+
+
+class LongContextStrategy(Enum):
+    """How aggregation fits over-long documents into the context window."""
+
+    TRUNCATE = auto()
+    CHUNK = auto()
+
+
+class SerializationFormat(Enum):
+    JSON = "json"
+    XML = "xml"
+    DEFAULT = "default"
+
+
 class ProxyModel(Enum):
     HELPER_LM = "helper_lm"
     EMBEDDING_MODEL = "embedding_model"
 
 
+# =========================================================================
+# Cascade configuration
+# =========================================================================
+
+
+def _paired_thresholds(pos: float | None, neg: float | None, label: str) -> None:
+    """Both-or-neither, and positive >= negative."""
+    if (pos is None) != (neg is None):
+        raise ValueError(f"{label}_pos_cascade_threshold and {label}_neg_cascade_threshold must be provided together.")
+    if pos is not None and neg is not None and pos < neg:
+        raise ValueError(f"{label}_pos_cascade_threshold must be >= {label}_neg_cascade_threshold.")
+
+
 class CascadeArgs(BaseModel):
-    """Knobs for model cascades (reference: ``lotus/types.py:163-218``)."""
+    """Every knob a model cascade reads (filter and join variants)."""
 
     recall_target: float = 0.8
     precision_target: float = 0.8
@@ -211,21 +280,8 @@ class CascadeArgs(BaseModel):
     model_config = ConfigDict(arbitrary_types_allowed=True)
 
     @model_validator(mode="after")
-    def check_filter_cascade_thresholds(self) -> "CascadeArgs":
-        if (self.filter_pos_cascade_threshold is None) != (self.filter_neg_cascade_threshold is None):
-            raise ValueError(
-                "filter_pos_cascade_threshold and filter_neg_cascade_threshold must be provided together."
-            )
-        if (
-            self.filter_pos_cascade_threshold is not None
-            and self.filter_neg_cascade_threshold is not None
-            and self.filter_pos_cascade_threshold < self.filter_neg_cascade_threshold
-        ):
-            raise ValueError("filter_pos_cascade_threshold must be >= filter_neg_cascade_threshold.")
-        return self
-
-    @model_validator(mode="after")
-    def check_join_cascade_thresholds(self) -> "CascadeArgs":
+    def _validate_thresholds(self) -> "CascadeArgs":
+        _paired_thresholds(self.filter_pos_cascade_threshold, self.filter_neg_cascade_threshold, "filter")
         if self.join_cascade_strategy is not None:
             if self.join_cascade_pos_threshold is None or self.join_cascade_neg_threshold is None:
                 raise ValueError(
@@ -236,71 +292,14 @@ class CascadeArgs(BaseModel):
         return self
 
 
-@dataclass
-class SemanticTopKOutput:
-    indexes: list[int]
-    stats: dict[str, Any] | None = None
-
-
-################################################################################
-# RM related
-################################################################################
-@dataclass
-class RMOutput:
-    """Search result payload: per-query distances and row indices.
-
-    Reference contract: ``lotus/types.py:232`` — indices are row positions in
-    the indexed collection; -1 marks a missing / padded hit.
-    """
-
-    distances: list[list[float]]
-    indices: list[list[int]]
-
-
-################################################################################
-# Reranker related
-################################################################################
-@dataclass
-class RerankerOutput:
-    indices: list[int]
-
-
-################################################################################
-# Serialization related
-################################################################################
-class SerializationFormat(Enum):
-    JSON = "json"
-    XML = "xml"
-    DEFAULT = "default"
-
-
-################################################################################
-# Utility
-################################################################################
-@dataclass
-class UsageLimit:
-    prompt_tokens_limit: float = float("inf")
-    completion_tokens_limit: float = float("inf")
-    total_tokens_limit: float = float("inf")
-    total_cost_limit: float = float("inf")
-
-
-################################################################################
+# =========================================================================
 # Exceptions
-################################################################################
+# =========================================================================
+
+
 class LotusException(Exception):
     """Base class for all lotus_tpu exceptions."""
 
 
 class LotusUsageLimitException(LotusException):
     """Raised when a usage limit is exceeded."""
-
-
-################################################################################
-# Reasoning strategy
-################################################################################
-class ReasoningStrategy(Enum):
-    DEFAULT = auto()
-    COT = auto()
-    ZS_COT = auto()
-    FEW_SHOT = auto()

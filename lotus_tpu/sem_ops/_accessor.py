@@ -23,6 +23,9 @@ if TYPE_CHECKING:  # pragma: no cover
 
 _COT_STRATEGIES = (ReasoningStrategy.COT, ReasoningStrategy.ZS_COT)
 
+#: Column written by sem_partition_by and consumed by sem_agg's fold order.
+PARTITION_COLUMN = "_lotus_partition_id"
+
 
 def uses_cot(strategy: ReasoningStrategy | None) -> bool:
     return strategy in _COT_STRATEGIES
@@ -74,6 +77,10 @@ class SemAccessor:
         cols = parse_cols(instruction)
         self._check_cols(cols)
         return cols, nle2str(instruction, cols)
+
+    def _render_instruction(self, instruction: str, cols: list[str]) -> str:
+        """Render with an explicit column list (e.g. all_cols aggregation)."""
+        return nle2str(instruction, cols)
 
 
 @dataclass

@@ -1,16 +1,18 @@
 """sem_agg: hierarchical aggregation of many documents into one answer.
 
-Parity target: ``lotus/sem_ops/sem_agg.py:62-487``.  Documents are packed
-into prompts up to ``max_ctx_len - max_tokens``, each level's summaries are
-re-aggregated until one output remains.  Partition-aware: documents sharing
-a partition id are kept together; when ids are unique the fold degenerates
-to simple packing.  ``response_format`` is applied only on the final pass.
+Role parity with ``lotus/sem_ops/sem_agg.py:62-487``. Documents are packed
+into as few prompts as fit in ``max_ctx_len - max_tokens``; each level's
+answers become the next level's documents until a single answer remains.
+Rows sharing a ``_lotus_partition_id`` are kept in the same prompt (unless
+every id is unique, in which case packing ignores partitions), and a
+``response_format`` is only requested on the final single-prompt pass.
 """
 
 from __future__ import annotations
 
 import json
 from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
 from typing import Any
 
 import pandas as pd
@@ -20,158 +22,156 @@ import lotus_tpu
 from lotus_tpu.cache import operator_cache
 from lotus_tpu.long_context_strategy import ChunkedDocument, create_chunked_documents
 from lotus_tpu.models import LM
-from lotus_tpu.nl_expression import nle2str, parse_cols
+from lotus_tpu.sem_ops._accessor import PARTITION_COLUMN, SemAccessor
 from lotus_tpu.templates import task_instructions
-from lotus_tpu.types import LMOutput, LongContextStrategy, SemanticAggOutput
+from lotus_tpu.types import LongContextStrategy, SemanticAggOutput
+
+# ---------------------------------------------------------------------------
+# Level prompts. Level 0 folds raw documents; deeper levels fold answers
+# produced by previous passes, which need extra guidance about conflicting,
+# heterogeneous sources. Wording is original; the Context/Instruction/Answer
+# scaffold matches the reference's aggregation protocol.
+# ---------------------------------------------------------------------------
+
+_SHARED_SCAFFOLD = (
+    "\n\n---\n\nUse this format.\n\nContext: the supporting material\n\n"
+    "Instruction: what the user asked for\n\nAnswer: your answer\n\n---\n\n"
+    "Context: {{docs_str}}\n\nInstruction:  {instruction}\n\nAnswer:\n"
+)
+
+_LEAF_PREAMBLE = (
+    "Answer the user's instruction using the documents provided as context below.\n"
+    "Pull together every piece of relevant information across all of the documents "
+    "and weave it into one coherent answer.\n"
+    "Do not mimic how the documents are laid out — organise the answer however best "
+    "serves the instruction.\n"
+    "Space is limited, so keep the answer tight."
+)
+
+_INNER_PREAMBLE = (
+    "Answer the user's instruction using the sources provided as context below.\n"
+    "Each source is itself a digest of several documents and may be formatted "
+    "differently from the others; some may overlap, complement, or contradict one "
+    "another.\n"
+    "Draw on ALL of the relevant sources — connect them where needed — and produce "
+    "one coherent answer rather than echoing any source's layout.\n"
+    "Space is limited, so keep the answer tight."
+)
 
 
-def _leaf_template(user_instruction: str) -> str:
-    return (
-        "Your job is to provide an answer to the user's instruction given the context below from multiple documents.\n"
-        "Remember that your job is to answer the user's instruction by combining all relevant information from all provided documents, into a single coherent answer.\n"
-        "Do NOT copy the format of the sources! Instead output your answer in a coherent, well-structured manner that best answers the user instruction.\n"
-        "You have limited space to provide your answer, so be concise and to the point.\n\n---\n\n"
-        "Follow the following format.\n\nContext: relevant facts from multiple documents\n\n"
-        "Instruction: the instruction provided by the user\n\nAnswer: Write your answer\n\n---\n\n"
-        "Context: {{docs_str}}\n\n"
-        f"Instruction:  {user_instruction}\n\nAnswer:\n"
-    )
+def _level_prompt(level: int, instruction: str) -> tuple[str, str]:
+    """(document label, prompt template with a {{docs_str}} hole) for a level."""
+    preamble = _LEAF_PREAMBLE if level == 0 else _INNER_PREAMBLE
+    label = "Document" if level == 0 else "Source"
+    return label, preamble + _SHARED_SCAFFOLD.format(instruction=instruction)
 
 
-def _node_template(user_instruction: str) -> str:
-    return (
-        "Your job is to provide an answer to the user's instruction given the context below from multiple sources.\n"
-        "Note that each source may be formatted differently and contain information about several different documents.\n"
-        "Remember that your job is to answer the user's instruction by combining all relevant information from all provided sources, into a single coherent answer.\n"
-        "The sources may provide opposing viewpoints or complementary information.\n"
-        "Be sure to include information from ALL relevant sources in your answer.\n"
-        "Do NOT copy the format of the sources, instead output your answer in a coherent, well-structured manner that best answers the user instruction.\n"
-        "You have limited space to provide your answer, so be concise and to the point.\n"
-        "You may need to draw connections between sources to provide a complete answer.\n\n---\n\n"
-        "Follow the following format.\n\nContext: relevant facts from multiple sources\n\n"
-        "Instruction: the instruction provided by the user\n\nAnswer: Write your answer\n\n---\n\n"
-        "Context: {{docs_str}}\n\n"
-        f"Instruction:  {user_instruction}\n\nAnswer:\n"
-    )
+@dataclass
+class _Bin:
+    """One prompt being packed: rendered pieces plus their token total."""
+
+    pid: int
+    pieces: list[str] = field(default_factory=list)
+    tokens: int = 0
+
+    def render(self, template: str) -> list[dict[str, str]]:
+        return [{"role": "user", "content": template.replace("{{docs_str}}", "".join(self.pieces))}]
+
+
+def _pack_level(
+    texts: list[str], pids: list[int], model: LM, label: str, template: str, respect_pids: bool
+) -> tuple[list[list[dict[str, str]]], list[int]]:
+    """Greedily pack texts into prompts under the model's context budget.
+
+    Returns the rendered message batch plus one partition id per prompt.
+    A new prompt starts when the next piece would overflow the budget, or
+    (when ``respect_pids``) when the partition id changes.
+    """
+    budget = model.max_ctx_len - model.max_tokens - model.count_tokens(template)
+    prompts: list[list[dict[str, str]]] = []
+    prompt_pids: list[int] = []
+    bin_ = _Bin(pid=pids[0])
+
+    def flush() -> None:
+        if bin_.pieces:
+            prompts.append(bin_.render(template))
+            prompt_pids.append(bin_.pid)
+
+    for text, pid in zip(texts, pids):
+        piece = f"\n\t{label} {len(bin_.pieces) + 1}: {text}"
+        cost = model.count_tokens(piece)
+        if bin_.pieces and (bin_.tokens + cost > budget or (respect_pids and pid != bin_.pid)):
+            flush()
+            bin_ = _Bin(pid=pid)
+            piece = f"\n\t{label} 1: {text}"
+            cost = model.count_tokens(piece)
+        bin_.pieces.append(piece)
+        bin_.tokens += cost
+    flush()
+    return prompts, prompt_pids
 
 
 def sem_agg(
-    docs: list[str] | ChunkedDocument,
-    model: LM,
-    user_instruction: str,
-    partition_ids: list[int],
-    safe_mode: bool = False,
-    progress_bar_desc: str = "Aggregating",
-    response_format: Any = None,
+    docs: list[str] | ChunkedDocument, model: LM, user_instruction: str, partition_ids: list[int],
+    safe_mode: bool = False, progress_bar_desc: str = "Aggregating", response_format: Any = None,
 ) -> SemanticAggOutput:
     """Hierarchically fold documents into a single answer."""
     if safe_mode:
         lotus_tpu.logger.warning("Safe mode is not implemented for sem_agg yet")
 
-    doc_list = docs.docs if isinstance(docs, ChunkedDocument) else list(docs)
-    templates = (_leaf_template(user_instruction), _node_template(user_instruction))
+    texts = docs.docs if isinstance(docs, ChunkedDocument) else list(docs)
+    # Unique ids per row mean partitions carry no grouping signal: pure fold.
+    respect_pids = len(partition_ids) != len(set(partition_ids))
 
-    def fmt(tree_level: int, doc: str, ctr: int) -> str:
-        label = "Document" if tree_level == 0 else "Source"
-        return f"\n\t{label} {ctr}: {doc}"
-
-    tree_level = 0
-    summaries: list[str] = []
-    while len(doc_list) != 1 or not summaries:
-        template = templates[0] if tree_level == 0 else templates[1]
-        template_tokens = model.count_tokens(template)
-        budget = model.max_ctx_len - model.max_tokens
-
-        # Pack documents into prompts; a partition boundary also closes a
-        # prompt unless every partition id is unique (pure fold).
-        do_fold = len(partition_ids) == len(set(partition_ids))
-        batch: list[list[dict[str, str]]] = []
-        new_partition_ids: list[int] = []
-        context_str, context_tokens = "", 0
-        cur_pid = partition_ids[0]
-        doc_ctr = 1
-
-        def close_prompt(pid: int) -> None:
-            batch.append([{"role": "user", "content": template.replace("{{docs_str}}", context_str)}])
-            new_partition_ids.append(pid)
-
-        for idx, doc in enumerate(doc_list):
-            pid = partition_ids[idx]
-            piece = fmt(tree_level, doc, doc_ctr)
-            piece_tokens = model.count_tokens(piece)
-            overflow = piece_tokens + context_tokens + template_tokens > budget
-            boundary = pid != cur_pid and not do_fold
-            if overflow or boundary:
-                close_prompt(cur_pid)
-                cur_pid = pid
-                doc_ctr = 1
-                piece = fmt(tree_level, doc, doc_ctr)
-                context_str, context_tokens = piece, piece_tokens
-                doc_ctr += 1
-            else:
-                context_str += piece
-                context_tokens += piece_tokens
-                doc_ctr += 1
-        if doc_ctr > 1 or len(doc_list) == 1:
-            close_prompt(cur_pid)
-
-        # response_format applies only to the last pass (a single prompt).
-        kwargs: dict[str, Any] = {}
-        if len(batch) == 1 and response_format is not None:
-            kwargs["response_format"] = response_format
-        lm_output: LMOutput = model(batch, progress_bar_desc=progress_bar_desc, **kwargs)
-
-        summaries = lm_output.outputs
-        partition_ids, doc_list = new_partition_ids, summaries
-        tree_level += 1
+    level = 0
+    while True:
+        label, template = _level_prompt(level, user_instruction)
+        prompts, partition_ids = _pack_level(
+            texts, partition_ids, model, label, template, respect_pids
+        )
+        final = len(prompts) == 1 and response_format is not None
+        reply = model(
+            prompts,
+            progress_bar_desc=progress_bar_desc,
+            **({"response_format": response_format} if final else {}),
+        )
+        texts = reply.outputs
+        level += 1
         if safe_mode:
             model.print_total_usage()
-    return SemanticAggOutput(outputs=summaries)
+        if len(texts) == 1:
+            return SemanticAggOutput(outputs=texts)
 
 
 @pd.api.extensions.register_dataframe_accessor("sem_agg")
-class SemAggDataframe:
+class SemAggDataframe(SemAccessor):
     """Aggregate rows into one answer: ``df.sem_agg("Summarize all {notes}")``."""
 
-    def __init__(self, pandas_obj: Any):
-        self._validate(pandas_obj)
-        self._obj = pandas_obj
+    def _partitioned(self) -> tuple[pd.DataFrame, list[int]]:
+        """DataFrame ordered by partition, with one id per row."""
+        if PARTITION_COLUMN in self._obj.columns:
+            ordered = self._obj.sort_values(by=PARTITION_COLUMN)
+            return ordered, ordered[PARTITION_COLUMN].tolist()
+        return self._obj, [0] * len(self._obj)
 
-    @staticmethod
-    def _validate(obj: Any) -> None:
-        if not isinstance(obj, pd.DataFrame):
-            raise AttributeError("Must be a DataFrame")
-
-    @staticmethod
-    def process_group(args: tuple) -> pd.DataFrame:
-        (
-            group_name, group, user_instruction, all_cols, group_by, suffix,
-            progress_bar_desc, long_context_strategy, response_format,
-        ) = args
-        result = group.sem_agg(
-            user_instruction,
-            all_cols=all_cols,
-            suffix=suffix,
-            group_by=None,
-            progress_bar_desc=progress_bar_desc,
-            long_context_strategy=long_context_strategy,
-            response_format=response_format,
-        )
-        if isinstance(group_name, tuple):
-            for col, val in zip(group_by, group_name):
-                result[col] = val
+    def _split_structured(self, text: str, response_format: Any, suffix: str) -> pd.DataFrame:
+        """Turn a structured final answer into one row of typed columns."""
+        parsed: Any = text
+        if isinstance(response_format, type) and issubclass(response_format, BaseModel):
+            parsed = response_format.model_validate_json(text).model_dump()
         else:
-            result[group_by[0]] = group_name
-        return result
+            try:
+                parsed = json.loads(text)
+            except json.JSONDecodeError:
+                lotus_tpu.logger.warning(f"Failed to parse response format: {text}")
+        if isinstance(parsed, dict):
+            return pd.DataFrame([parsed])
+        return pd.DataFrame([parsed], columns=[suffix])
 
     @operator_cache
     def __call__(
-        self,
-        user_instruction: str,
-        all_cols: bool = False,
-        suffix: str = "_output",
-        group_by: list[str] | None = None,
-        safe_mode: bool = False,
+        self, user_instruction: str, all_cols: bool = False, suffix: str = "_output",
+        group_by: list[str] | None = None, safe_mode: bool = False,
         progress_bar_desc: str = "Aggregating",
         long_context_strategy: LongContextStrategy | None = LongContextStrategy.CHUNK,
         split_fields_into_cols: bool = True,
@@ -179,72 +179,48 @@ class SemAggDataframe:
     ) -> pd.DataFrame:
         from lotus_tpu.settings import settings
 
-        if settings.lm is None:
-            raise ValueError("Configure a language model via lotus_tpu.settings.configure(lm=...)")
-
-        col_li = list(self._obj.columns) if all_cols else parse_cols(user_instruction)
-        for column in col_li:
-            if column not in self._obj.columns:
-                raise ValueError(
-                    f"column {column} not found in DataFrame. Given usr instruction: {user_instruction}"
-                )
+        model = self._lm()
+        cols = list(self._obj.columns) if all_cols else self._parse_instruction(user_instruction)[0]
 
         if group_by:
-            grouped = self._obj.groupby(group_by)
-            group_args = [
-                (
-                    name, group, user_instruction, all_cols, group_by, suffix,
-                    progress_bar_desc, long_context_strategy, response_format,
+            def agg_one(item: tuple[Any, pd.DataFrame]) -> pd.DataFrame:
+                name, frame = item
+                piece = frame.sem_agg(
+                    user_instruction, all_cols=all_cols, suffix=suffix, group_by=None,
+                    progress_bar_desc=progress_bar_desc,
+                    long_context_strategy=long_context_strategy,
+                    response_format=response_format,
                 )
-                for name, group in grouped
-            ]
-            with ThreadPoolExecutor(max_workers=settings.parallel_groupby_max_threads) as ex:
-                return pd.concat(list(ex.map(SemAggDataframe.process_group, group_args)))
+                keys = name if isinstance(name, tuple) else (name,)
+                for col, val in zip(group_by, keys):
+                    piece[col] = val
+                return piece
 
-        df = self._obj
-        if "_lotus_partition_id" in df.columns:
-            df = df.sort_values(by="_lotus_partition_id")
-            partition_ids = df["_lotus_partition_id"].tolist()
-        else:
-            partition_ids = [0] * len(df)
+            with ThreadPoolExecutor(max_workers=settings.parallel_groupby_max_threads) as pool:
+                return pd.concat(list(pool.map(agg_one, self._obj.groupby(group_by))))
 
-        formatted_instr = nle2str(user_instruction, col_li)
+        frame, partition_ids = self._partitioned()
+        instruction = self._render_instruction(user_instruction, cols)
 
-        docs_input: list[str] | ChunkedDocument
+        payload: list[str] | ChunkedDocument
         if long_context_strategy in (LongContextStrategy.TRUNCATE, LongContextStrategy.CHUNK):
-            template_tokens = settings.lm.count_tokens(_leaf_template(formatted_instr))
-            docs_input = create_chunked_documents(
-                df, col_li, settings.lm, long_context_strategy, template_tokens
+            _, leaf_template = _level_prompt(0, instruction)
+            payload = create_chunked_documents(
+                frame, cols, model, long_context_strategy, model.count_tokens(leaf_template)
             )
-            if "_lotus_partition_id" in df.columns:
-                partition_ids = [
-                    docs_input.get_value(i, "_lotus_partition_id") for i in range(len(docs_input))
-                ]
+            if PARTITION_COLUMN in frame.columns:
+                partition_ids = [payload.get_value(i, PARTITION_COLUMN) for i in range(len(payload))]
             else:
-                partition_ids = [0] * len(docs_input)
+                partition_ids = [0] * len(payload)
         else:
-            docs_input = task_instructions.df2text(df, col_li)
+            payload = task_instructions.df2text(frame, cols)
 
         answer = sem_agg(
-            docs_input,
-            settings.lm,
-            formatted_instr,
-            partition_ids,
-            safe_mode=safe_mode,
-            progress_bar_desc=progress_bar_desc,
+            payload, model, instruction, partition_ids,
+            safe_mode=safe_mode, progress_bar_desc=progress_bar_desc,
             response_format=response_format,
-        )
+        ).outputs[0]
 
-        output: Any = answer.outputs[0]
         if response_format is not None and split_fields_into_cols:
-            if isinstance(response_format, type) and issubclass(response_format, BaseModel):
-                output = response_format.model_validate_json(answer.outputs[0]).model_dump()
-            else:
-                try:
-                    output = json.loads(answer.outputs[0])
-                except json.JSONDecodeError:
-                    lotus_tpu.logger.warning(f"Failed to parse response format: {answer.outputs[0]}")
-
-        if isinstance(output, dict):
-            return pd.DataFrame([output])
-        return pd.DataFrame([output], columns=[suffix])
+            return self._split_structured(answer, response_format, suffix)
+        return pd.DataFrame([answer], columns=[suffix])

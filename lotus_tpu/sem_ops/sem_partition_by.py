@@ -12,9 +12,7 @@ from typing import Callable
 import pandas as pd
 
 from lotus_tpu.cache import operator_cache
-from lotus_tpu.sem_ops._accessor import SemAccessor
-
-PARTITION_COLUMN = "_lotus_partition_id"
+from lotus_tpu.sem_ops._accessor import PARTITION_COLUMN, SemAccessor
 
 
 @pd.api.extensions.register_dataframe_accessor("sem_partition_by")

@@ -24,13 +24,15 @@ def sig_lines(p: Path) -> list[str]:
         if not s:
             continue
         # crude docstring stripper
+        if in_doc:
+            if '"""' in s or "'''" in s:
+                in_doc = False
+            continue
         if s.startswith('"""') or s.startswith("'''"):
             q = s[:3]
             if s.count(q) >= 2 and len(s) > 3:
                 continue
-            in_doc = not in_doc
-            continue
-        if in_doc:
+            in_doc = True
             continue
         if s.startswith("#"):
             continue

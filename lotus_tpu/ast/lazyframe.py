@@ -47,27 +47,6 @@ if TYPE_CHECKING:  # pragma: no cover
     from lotus_tpu.ast.run import LazyFrameRun
 
 
-class _LazyMethodProxy:
-    """Capture a pandas method call as a PandasOpNode."""
-
-    def __init__(self, lazyframe: "LazyFrame", method_name: str) -> None:
-        self._lazyframe = lazyframe
-        self._method_name = method_name
-
-    def __call__(self, *args: Any, **kwargs: Any) -> "LazyFrame":
-        clean_args, lf_args = LazyFrame._split_args(args)
-        clean_kwargs, lf_kwargs = LazyFrame._split_kwargs(kwargs)
-        node = PandasOpNode(
-            op_name=self._method_name,
-            args=clean_args,
-            kwargs=clean_kwargs or None,
-            is_attr=False,
-            lf_args=lf_args or None,
-            lf_kwargs=lf_kwargs or None,
-        )
-        return self._lazyframe._append(node)
-
-
 class LazyFrame:
     """Immutable lazy DataFrame pipeline.
 
@@ -87,17 +66,18 @@ class LazyFrame:
         _default_cache: Cache | None = None,
     ) -> None:
         self._default_cache: Cache = _default_cache or CacheFactory.create_default_cache(max_size=10_000)
-        if _nodes is not None:
-            self._nodes = list(_nodes)
-            if _source is not None:
-                self._source: SourceNode | None = _source
-            else:
-                first = self._nodes[0] if self._nodes else None
-                self._source = first if isinstance(first, SourceNode) else None
+        if _nodes is None:
+            # Fresh pipeline: a single source bound to this very LazyFrame.
+            head = SourceNode(lazyframe_ref=self, df=df, expected_schema=schema)
+            self._nodes: list[BaseNode] = [head]
+            self._source: SourceNode | None = head
+            return
+        self._nodes = list(_nodes)
+        if _source is not None:
+            self._source = _source
         else:
-            source = SourceNode(lazyframe_ref=self, df=df, expected_schema=schema)
-            self._nodes = [source]
-            self._source = source
+            head = next(iter(self._nodes), None)
+            self._source = head if isinstance(head, SourceNode) else None
 
     # ----------------------------------------------------------- internals
     def _append(self, node: BaseNode) -> "LazyFrame":
@@ -134,45 +114,56 @@ class LazyFrame:
         return clean, lf_kwargs
 
     @staticmethod
-    def _split_right(right: "LazyFrame | pd.DataFrame") -> tuple["LazyFrame | None", pd.DataFrame | None]:
+    def _right_ref(right: "LazyFrame | pd.DataFrame") -> dict[str, Any]:
+        """Join-node kwargs for the right side, whichever form it takes."""
         if isinstance(right, LazyFrame):
-            return right, None
+            return {"right_lf": right, "right_df": None}
         if isinstance(right, pd.DataFrame):
-            return None, right
+            return {"right_lf": None, "right_df": right}
         raise TypeError(f"right must be LazyFrame or DataFrame, got {type(right)}")
 
     def copy(self) -> "LazyFrame":
         """Deep copy; SourceNode.lazyframe_ref values are restored so input
         dicts keyed by the original LazyFrames still resolve."""
         copied = LazyFrame(_nodes=deepcopy(self._nodes), _default_cache=self._default_cache)
-        self._restore_source_refs(self._nodes, copied._nodes, set())
+        self._restore_source_refs(self._nodes, copied._nodes)
         return copied
 
     @staticmethod
-    def _restore_source_refs(original: Any, copied: Any, seen: set[tuple[int, int]]) -> None:
-        pair = (id(original), id(copied))
-        if pair in seen:
-            return
-        seen.add(pair)
-        if isinstance(original, SourceNode) and isinstance(copied, SourceNode):
-            copied.lazyframe_ref = original.lazyframe_ref
-            return
-        if isinstance(original, LazyFrame) and isinstance(copied, LazyFrame):
-            LazyFrame._restore_source_refs(original._nodes, copied._nodes, seen)
-            return
-        if isinstance(original, BaseNode) and isinstance(copied, BaseNode):
-            for field_name in type(original).model_fields:
-                LazyFrame._restore_source_refs(
-                    getattr(original, field_name, None), getattr(copied, field_name, None), seen
-                )
-            return
-        if isinstance(original, (list, tuple)) and isinstance(copied, (list, tuple)):
-            for o, c in zip(original, copied):
-                LazyFrame._restore_source_refs(o, c, seen)
-            return
-        if isinstance(original, dict) and isinstance(copied, dict):
-            for key in original.keys() & copied.keys():
-                LazyFrame._restore_source_refs(original[key], copied[key], seen)
+    def _restore_source_refs(original: Any, copied: Any) -> None:
+        """Walk the original/copy trees in lockstep, re-pointing every copied
+        SourceNode's lazyframe_ref at the original's (deepcopy clones it,
+        which would break input dicts keyed by the original LazyFrame)."""
+
+        def children(obj: Any, twin: Any) -> list[tuple[Any, Any]]:
+            if isinstance(obj, LazyFrame):
+                return [(obj._nodes, twin._nodes)]
+            if isinstance(obj, BaseNode):
+                return [
+                    (getattr(obj, f, None), getattr(twin, f, None))
+                    for f in type(obj).model_fields
+                ]
+            if isinstance(obj, (list, tuple)):
+                return list(zip(obj, twin))
+            if isinstance(obj, dict):
+                return [(obj[k], twin[k]) for k in obj.keys() & twin.keys()]
+            return []
+
+        visited: set[tuple[int, int]] = set()
+        queue: list[tuple[Any, Any]] = [(original, copied)]
+        while queue:
+            obj, twin = queue.pop()
+            key = (id(obj), id(twin))
+            if key in visited:
+                continue
+            visited.add(key)
+            if isinstance(obj, SourceNode) and isinstance(twin, SourceNode):
+                twin.lazyframe_ref = obj.lazyframe_ref
+                continue
+            if type(obj) is type(twin) or (
+                isinstance(obj, (list, tuple)) and isinstance(twin, (list, tuple))
+            ):
+                queue.extend(children(obj, twin))
 
     # -------------------------------------------------------------- sources
     def add_source(self, df: pd.DataFrame | None = None, schema: dict[str, str] | None = None) -> "LazyFrame":
@@ -204,16 +195,17 @@ class LazyFrame:
         """Add a semantic filter operation."""
         return self._append_opt(SemFilterNode(user_instruction=user_instruction, **kwargs), mark_optimizable)
 
+    @staticmethod
+    def _build_with_overflow(node_cls: type[BaseNode], kwargs: dict[str, Any], **fixed: Any) -> BaseNode:
+        """Instantiate a node, routing unknown kwargs into its model_kwargs."""
+        declared = set(node_cls.model_fields) - {"model_kwargs", "optimizable_params"}
+        overflow = {k: v for k, v in kwargs.items() if k not in declared}
+        recognized = {k: v for k, v in kwargs.items() if k in declared}
+        return node_cls(model_kwargs=overflow or None, **fixed, **recognized)
+
     def sem_map(self, user_instruction: str, *, mark_optimizable: list[str] | None = None, **kwargs: Any) -> "LazyFrame":
         """Add a semantic map operation.  Unknown kwargs become model kwargs."""
-        known = set(SemMapNode.model_fields) - {"model_kwargs", "optimizable_params"}
-        node_kwargs = {k: v for k, v in kwargs.items() if k in known}
-        model_kwargs = {k: v for k, v in kwargs.items() if k not in known}
-        node = SemMapNode(
-            user_instruction=user_instruction,
-            model_kwargs=model_kwargs or None,
-            **node_kwargs,
-        )
+        node = self._build_with_overflow(SemMapNode, kwargs, user_instruction=user_instruction)
         return self._append_opt(node, mark_optimizable)
 
     def sem_extract(
@@ -238,17 +230,15 @@ class LazyFrame:
         mark_optimizable: list[str] | None = None, **kwargs: Any,
     ) -> "LazyFrame":
         """Add a semantic join; ``right`` may be a DataFrame or LazyFrame."""
-        right_lf, right_df = self._split_right(right)
-        node = SemJoinNode(right_lf=right_lf, right_df=right_df, join_instruction=join_instruction, **kwargs)
+        node = SemJoinNode(join_instruction=join_instruction, **self._right_ref(right), **kwargs)
         return self._append_opt(node, mark_optimizable)
 
     def sem_sim_join(
         self, right: "LazyFrame | pd.DataFrame", left_on: str, right_on: str, K: int, **kwargs: Any
     ) -> "LazyFrame":
         """Add a similarity join operation."""
-        right_lf, right_df = self._split_right(right)
         node = SemSimJoinNode(
-            right_lf=right_lf, right_df=right_df, left_on=left_on, right_on=right_on, K=K, **kwargs
+            left_on=left_on, right_on=right_on, K=K, **self._right_ref(right), **kwargs
         )
         return self._append(node)
 
@@ -279,12 +269,7 @@ class LazyFrame:
     # ---------------------------------------------------------- eval builders
     def llm_as_judge(self, judge_instruction: str, *, mark_optimizable: list[str] | None = None, **kwargs: Any) -> "LazyFrame":
         """Add an LLM-as-judge evaluation."""
-        known = set(LLMAsJudgeNode.model_fields) - {"model_kwargs", "optimizable_params"}
-        node_kwargs = {k: v for k, v in kwargs.items() if k in known}
-        model_kwargs = {k: v for k, v in kwargs.items() if k not in known}
-        node = LLMAsJudgeNode(
-            judge_instruction=judge_instruction, model_kwargs=model_kwargs or None, **node_kwargs
-        )
+        node = self._build_with_overflow(LLMAsJudgeNode, kwargs, judge_instruction=judge_instruction)
         return self._append_opt(node, mark_optimizable)
 
     def pairwise_judge(
@@ -292,12 +277,8 @@ class LazyFrame:
         mark_optimizable: list[str] | None = None, **kwargs: Any,
     ) -> "LazyFrame":
         """Add a pairwise-judge evaluation."""
-        known = set(PairwiseJudgeNode.model_fields) - {"model_kwargs", "optimizable_params"}
-        node_kwargs = {k: v for k, v in kwargs.items() if k in known}
-        model_kwargs = {k: v for k, v in kwargs.items() if k not in known}
-        node = PairwiseJudgeNode(
-            col1=col1, col2=col2, judge_instruction=judge_instruction,
-            model_kwargs=model_kwargs or None, **node_kwargs,
+        node = self._build_with_overflow(
+            PairwiseJudgeNode, kwargs, col1=col1, col2=col2, judge_instruction=judge_instruction
         )
         return self._append_opt(node, mark_optimizable)
 
@@ -306,19 +287,36 @@ class LazyFrame:
         """Add a pandas boolean filter."""
         return self._append(PandasFilterNode(predicate=predicate))
 
+    def _record_pandas_call(self, method_name: str, args: tuple[Any, ...], kwargs: dict[str, Any]) -> "LazyFrame":
+        """Defer a pandas method call as a PandasOpNode (LazyFrame-valued
+        arguments move into the lf_args/lf_kwargs side tables)."""
+        clean_args, lf_args = self._split_args(args)
+        clean_kwargs, lf_kwargs = self._split_kwargs(kwargs)
+        return self._append(
+            PandasOpNode(
+                op_name=method_name, args=clean_args, kwargs=clean_kwargs or None,
+                is_attr=False, lf_args=lf_args or None, lf_kwargs=lf_kwargs or None,
+            )
+        )
+
     def __getattr__(self, name: str) -> Any:
-        if name.startswith("_"):
-            raise AttributeError(f"'{type(self).__name__}' object has no attribute '{name}'")
-        if hasattr(pd.DataFrame, name):
-            if callable(getattr(pd.DataFrame, name)):
-                return _LazyMethodProxy(self, name)
+        unknown = AttributeError(f"'{type(self).__name__}' object has no attribute '{name}'")
+        if name.startswith("_") or not hasattr(pd.DataFrame, name):
+            raise unknown
+        if not callable(getattr(pd.DataFrame, name)):
             return self._append(PandasOpNode(op_name=name, is_attr=True))
-        raise AttributeError(f"'{type(self).__name__}' object has no attribute '{name}'")
+
+        def defer(*args: Any, **kwargs: Any) -> "LazyFrame":
+            return self._record_pandas_call(name, args, kwargs)
+
+        return defer
 
     def __getitem__(self, key: Any) -> "LazyFrame":
-        if callable(key):
-            return self.filter(key)
-        return self._append(PandasOpNode(op_name="__getitem__", args=(key,)))
+        # A callable key is a predicate (df[lambda d: ...]); anything else is
+        # a plain subscript deferred to execution time.
+        return self.filter(key) if callable(key) else self._append(
+            PandasOpNode(op_name="__getitem__", args=(key,))
+        )
 
     def __setitem__(self, key: str, value: Any) -> None:
         # In-place exception to immutability, mirroring df[col] = value.
@@ -354,9 +352,8 @@ class LazyFrame:
         """Create a LazyFrameRun for this pipeline."""
         from lotus_tpu.ast.run import LazyFrameRun
 
-        if not isinstance(inputs, dict):
-            inputs = {self: inputs}
-        return LazyFrameRun(self, inputs, cache=cache or self._default_cache)
+        bound = inputs if isinstance(inputs, dict) else {self: inputs}
+        return LazyFrameRun(self, bound, cache=cache or self._default_cache)
 
     def execute(
         self, inputs: "pd.DataFrame | dict[LazyFrame, pd.DataFrame]", *, cache: Cache | None = None
@@ -368,17 +365,15 @@ class LazyFrame:
     def save(self, path: "str | Path") -> None:
         """Pickle the node list to a file (not portable if custom callables
         are referenced)."""
-        path = Path(path)
-        path.parent.mkdir(parents=True, exist_ok=True)
-        with open(path, "wb") as f:
-            pickle.dump({"nodes": self._nodes, "source": self._source}, f)
+        target = Path(path)
+        target.parent.mkdir(parents=True, exist_ok=True)
+        target.write_bytes(pickle.dumps({"nodes": self._nodes, "source": self._source}))
 
     @classmethod
     def load(cls, path: "str | Path") -> "LazyFrame":
         """Load a pipeline previously written by save()."""
-        with open(Path(path), "rb") as f:
-            data = pickle.load(f)  # noqa: S301
-        return cls(_nodes=data["nodes"], _source=data["source"])
+        payload = pickle.loads(Path(path).read_bytes())  # noqa: S301
+        return cls(_nodes=payload["nodes"], _source=payload["source"])
 
     # ------------------------------------------------------------ optimization
     def optimize(
@@ -410,37 +405,37 @@ class LazyFrame:
     def __repr__(self) -> str:
         return f"LazyFrame(nodes={len(self._nodes)})"
 
+    def __len__(self) -> int:
+        return len(self._nodes)
+
     def show(self) -> str:
         """Render the pipeline as an ASCII tree (latest op first)."""
         if not self._nodes:
             return "LazyFrame()"
-        INDENT = "    "
+        step = "    "
+        out: list[str] = []
 
-        def build(idx: int, depth: int = 0) -> list[str]:
-            if not (0 <= idx < len(self._nodes)):
-                return []
+        def emit(text: str, depth: int, bullet: bool) -> None:
+            out.append(f"{step * depth}{'-- ' if bullet else ''}{text}")
+
+        def render(idx: int, depth: int) -> None:
             node = self._nodes[idx]
-            pad = INDENT * depth
-            arrow = "-- " if depth > 0 else ""
-            lines = [f"{pad}{arrow}{node.signature()}"]
-            is_join = isinstance(node, (SemJoinNode, SemSimJoinNode))
-            if is_join and idx > 0:
-                lines.append(f"{pad}{INDENT}-- current LazyFrame")
-                lines.extend(build(idx - 1, depth + 2))
+            emit(node.signature(), depth, bullet=depth > 0)
+            branches = isinstance(node, (SemJoinNode, SemSimJoinNode))
+            if branches and idx > 0:
+                emit("current LazyFrame", depth + 1, bullet=True)
+                render(idx - 1, depth + 2)
             for label, child in node.child_lfs():
-                lines.append(f"{pad}{INDENT}-- {label}")
+                emit(label, depth + 1, bullet=True)
                 if hasattr(child, "show"):
-                    lines.extend(f"{pad}{INDENT}{INDENT}{cl}" for cl in child.show().split("\n"))
+                    out.extend(step * (depth + 2) + row for row in child.show().splitlines())
                 elif isinstance(child, SourceNode):
-                    lines.append(f"{pad}{INDENT}{INDENT}{child.signature()}")
-            if not is_join and idx > 0:
-                lines.extend(build(idx - 1, depth + 1))
-            return lines
+                    emit(child.signature(), depth + 2, bullet=False)
+            if not branches and idx > 0:
+                render(idx - 1, depth + 1)
 
-        return "\n".join(build(len(self._nodes) - 1))
+        render(len(self._nodes) - 1, 0)
+        return "\n".join(out)
 
     def print_tree(self) -> None:
         print(self.show())
-
-    def __len__(self) -> int:
-        return len(self._nodes)

@@ -12,6 +12,7 @@ dot/bracket paths.
 from __future__ import annotations
 
 import ast as _pyast
+import re
 from typing import Any, Callable, ClassVar
 
 import pandas as pd
@@ -29,61 +30,53 @@ Resolver = Callable[[Any], Any]
 
 
 def _no_resolver(ref: Any) -> Any:
-    """Fallback resolver: pass plain values through, fail on lazy refs."""
+    """Fallback resolver: plain values pass through, lazy refs are an error."""
     from lotus_tpu.ast.lazyframe import LazyFrame
 
-    if isinstance(ref, LazyFrame):
-        raise RuntimeError("Cannot resolve a LazyFrame without a runner.")
-    if isinstance(ref, SourceNode):
-        if ref.df is not None:
+    match ref:
+        case LazyFrame():
+            raise RuntimeError("Cannot resolve a LazyFrame without a runner.")
+        case SourceNode(df=None):
+            raise ValueError("SourceNode has no DataFrame specified.")
+        case SourceNode():
             return ref.df
-        raise ValueError("SourceNode has no DataFrame specified.")
-    if isinstance(ref, list):
-        return [_no_resolver(v) for v in ref]
-    if isinstance(ref, tuple):
-        return tuple(_no_resolver(v) for v in ref)
-    if isinstance(ref, dict):
-        return {k: _no_resolver(v) for k, v in ref.items()}
-    return ref
+        case list() | tuple():
+            return type(ref)(_no_resolver(v) for v in ref)
+        case dict():
+            return {k: _no_resolver(v) for k, v in ref.items()}
+        case _:
+            return ref
 
 
 def _truncate(text: str, max_len: int = 50) -> str:
-    return text[:max_len] + "..." if len(text) > max_len else text
+    return text if len(text) <= max_len else text[:max_len] + "..."
+
+
+_PATH_TOKEN = re.compile(r"\[([^\[\]]*)\]|([^.\[\]]+)")
 
 
 def split_param_path(param_name: str) -> tuple[Any, ...]:
-    """Parse a dotted/bracketed path like ``cascade_args.map_examples[0]``."""
-    parts: list[Any] = []
-    token: list[str] = []
-    i = 0
-    while i < len(param_name):
-        ch = param_name[i]
-        if ch == ".":
-            if token:
-                parts.append("".join(token))
-                token = []
-            i += 1
-        elif ch == "[":
-            if token:
-                parts.append("".join(token))
-                token = []
-            close = param_name.find("]", i + 1)
-            if close == -1:
-                raise ValueError(f"Invalid optimizable parameter path: {param_name!r}")
-            expr = param_name[i + 1 : close].strip()
-            if not expr:
-                raise ValueError(f"Invalid optimizable parameter path: {param_name!r}")
-            try:
-                parts.append(_pyast.literal_eval(expr))
-            except (SyntaxError, ValueError):
-                parts.append(int(expr) if expr.lstrip("-").isdigit() else expr)
-            i = close + 1
-        else:
-            token.append(ch)
-            i += 1
-    if token:
-        parts.append("".join(token))
-    return tuple(p for p in parts if p != "")
+    """Parse a dotted/bracketed path like ``cascade_args.map_examples[0]``.
+
+    Dotted segments stay strings; bracketed segments are literal-eval'd so
+    ``[0]`` indexes and ``['key']`` keys both work.
+    """
+    if param_name.count("[") != param_name.count("]") or "[]" in param_name:
+        raise ValueError(f"Invalid optimizable parameter path: {param_name!r}")
+
+    segments: list[Any] = []
+    for bracketed, dotted in _PATH_TOKEN.findall(param_name):
+        if dotted:
+            segments.append(dotted)
+            continue
+        expr = bracketed.strip()
+        if not expr:
+            raise ValueError(f"Invalid optimizable parameter path: {param_name!r}")
+        try:
+            segments.append(_pyast.literal_eval(expr))
+        except (SyntaxError, ValueError):
+            segments.append(int(expr) if expr.lstrip("-").isdigit() else expr)
+    return tuple(segments)
 
 
 def _walk_get(container: Any, path: tuple[Any, ...], *, check_only: bool = False) -> Any:
@@ -93,19 +86,19 @@ def _walk_get(container: Any, path: tuple[Any, ...], *, check_only: bool = False
             if not isinstance(part, str) or part not in type(cur).model_fields:
                 if check_only:
                     return _MISSING
-                raise ValueError(f"Unknown nested optimizable parameter: {part!r}")
+                raise ValueError(f"No such nested optimizable parameter segment: {part!r}")
             cur = getattr(cur, part)
         elif isinstance(cur, (list, tuple)):
             if not isinstance(part, int) or not (0 <= part < len(cur)):
                 if check_only:
                     return _MISSING
-                raise ValueError(f"Unknown nested optimizable parameter: {part!r}")
+                raise ValueError(f"No such nested optimizable parameter segment: {part!r}")
             cur = cur[part]
         elif isinstance(cur, dict):
             if part not in cur:
                 if check_only:
                     return _MISSING
-                raise ValueError(f"Unknown nested optimizable parameter: {part!r}")
+                raise ValueError(f"No such nested optimizable parameter segment: {part!r}")
             cur = cur[part]
         else:
             if check_only:
@@ -120,17 +113,17 @@ def _walk_set(container: Any, path: tuple[Any, ...], value: Any) -> Any:
     part, rest = path[0], path[1:]
     if isinstance(container, BaseModel):
         if not isinstance(part, str) or part not in type(container).model_fields:
-            raise ValueError(f"Unknown nested optimizable parameter: {part!r}")
+            raise ValueError(f"No such nested optimizable parameter segment: {part!r}")
         return container.model_copy(update={part: _walk_set(getattr(container, part), rest, value)})
     if isinstance(container, (list, tuple)):
         if not isinstance(part, int) or not (0 <= part < len(container)):
-            raise ValueError(f"Unknown nested optimizable parameter: {part!r}")
+            raise ValueError(f"No such nested optimizable parameter segment: {part!r}")
         out = list(container)
         out[part] = _walk_set(out[part], rest, value)
         return out if isinstance(container, list) else tuple(out)
     if isinstance(container, dict):
         if part not in container:
-            raise ValueError(f"Unknown nested optimizable parameter: {part!r}")
+            raise ValueError(f"No such nested optimizable parameter segment: {part!r}")
         out = dict(container)
         out[part] = _walk_set(out[part], rest, value)
         return out
@@ -172,7 +165,7 @@ class BaseNode(BaseModel):
     def resolve_optimizable_param_value(self, param_name: str) -> Any:
         parts = split_param_path(param_name)
         if not parts or not isinstance(parts[0], str) or parts[0] not in type(self).model_fields:
-            raise ValueError(f"Unknown optimizable parameter: {param_name!r}")
+            raise ValueError(f"Node has no optimizable parameter {param_name!r}")
         if len(parts) == 1:
             return getattr(self, parts[0])
         container = getattr(self, parts[0], None)
@@ -183,7 +176,7 @@ class BaseNode(BaseModel):
     def apply_optimizable_param_value(self, param_name: str, value: Any) -> "BaseNode":
         parts = split_param_path(param_name)
         if not parts or not isinstance(parts[0], str) or parts[0] not in type(self).model_fields:
-            raise ValueError(f"Unknown optimizable parameter: {param_name!r}")
+            raise ValueError(f"Node has no optimizable parameter {param_name!r}")
         if len(parts) == 1:
             return self.model_copy(update={parts[0]: value})
         container = getattr(self, parts[0], None)
@@ -227,7 +220,7 @@ class SourceNode(BaseNode):
     def __call__(self, df: pd.DataFrame | None = None, resolver: Resolver = _no_resolver, **context: Any) -> pd.DataFrame:
         out = df if df is not None else self.df
         if out is None:
-            raise ValueError("No DataFrame provided for source")
+            raise ValueError("Source node was executed without a DataFrame")
         if self.expected_schema:
             for col, expected in self.expected_schema.items():
                 if col not in out.columns:
@@ -259,9 +252,10 @@ class AccessorNode(BaseNode):
     _positional: ClassVar[tuple[str, ...]] = ()
     _sig_fields: ClassVar[tuple[str, ...]] = ()
     _skip_if_none: ClassVar[tuple[str, ...]] = ("postprocessor",)
+    _not_forwarded: ClassVar[tuple[str, ...]] = ()
 
     def _call_kwargs(self) -> tuple[list[Any], dict[str, Any]]:
-        skip = {"optimizable_params", "model_kwargs", *self._positional}
+        skip = {"optimizable_params", "model_kwargs", *self._positional, *self._not_forwarded}
         args = [getattr(self, name) for name in self._positional]
         kwargs: dict[str, Any] = {}
         for name in type(self).model_fields:
@@ -332,10 +326,10 @@ class SemFilterNode(_CascadeSelfUpdateMixin, AccessorNode):
     _HELPER_PARAM: ClassVar[str] = "cascade_args.helper_filter_instruction"
 
     user_instruction: str = Field(
-        description="Natural language predicate evaluated per row. Use {ColumnName} to reference columns."
+        description="Per-row boolean claim in natural language; wrap column names in braces, e.g. {Title}."
     )
     system_prompt: str | None = Field(
-        default=None, description="Optional system prompt prepended to every LLM call for this filter operation."
+        default=None, description="System prompt applied to each of this filter's LLM calls (optional)."
     )
     return_raw_outputs: bool = False
     return_explanations: bool = False
@@ -360,14 +354,14 @@ class SemFilterNode(_CascadeSelfUpdateMixin, AccessorNode):
     def resolve_optimizable_param_value(self, param_name: str) -> Any:
         if param_name == self._HELPER_PARAM:
             if self.cascade_args is None:
-                raise ValueError("cascade_args is required to resolve helper filter instruction")
+                raise ValueError("Resolving the helper instruction requires cascade_args")
             return self.cascade_args.helper_filter_instruction or self.user_instruction
         return super().resolve_optimizable_param_value(param_name)
 
     def apply_optimizable_param_value(self, param_name: str, value: Any) -> BaseNode:
         if param_name == self._HELPER_PARAM:
             if self.cascade_args is None:
-                raise ValueError("cascade_args is required to set helper filter instruction")
+                raise ValueError("Setting the helper instruction requires cascade_args")
             return self.model_copy(
                 update={"cascade_args": self.cascade_args.model_copy(update={"helper_filter_instruction": value})}
             )
@@ -376,8 +370,8 @@ class SemFilterNode(_CascadeSelfUpdateMixin, AccessorNode):
     def optimizable_param_description(self, param_name: str) -> str:
         if param_name == self._HELPER_PARAM:
             return (
-                "Instruction used by the helper model in sem_filter cascades. "
-                "Defaults to user_instruction when unset."
+                "Predicate given to the cascade's helper model; falls back to "
+                "user_instruction when not set."
             )
         return super().optimizable_param_description(param_name)
 
@@ -397,10 +391,10 @@ class SemMapNode(AccessorNode):
     _positional = ("user_instruction",)
 
     user_instruction: str = Field(
-        description="Natural language transformation instruction applied per row. Use {ColumnName} to reference columns."
+        description="Row-wise rewrite instruction in natural language; wrap column names in braces."
     )
     system_prompt: str | None = Field(
-        default=None, description="Optional system prompt prepended to every LLM call for this map operation."
+        default=None, description="System prompt applied to each of this map's LLM calls (optional)."
     )
     postprocessor: Callable | None = None
     return_explanations: bool = False
@@ -421,7 +415,7 @@ class SemExtractNode(AccessorNode):
 
     input_cols: list[str]
     output_cols: dict[str, str | None] = Field(
-        description="Mapping of output column names to natural language descriptions of what to extract."
+        description="Output column name -> what to pull out of each row, described in natural language."
     )
     extract_quotes: bool = False
     postprocessor: Callable | None = None
@@ -439,7 +433,7 @@ class SemAggNode(AccessorNode):
     _positional = ("user_instruction",)
 
     user_instruction: str = Field(
-        description="Natural language aggregation instruction describing how to summarize the rows. Use {ColumnName} to reference columns."
+        description="How to fold all rows into one answer, in natural language; wrap column names in braces."
     )
     all_cols: bool = False
     suffix: str = "_output"
@@ -459,7 +453,7 @@ class SemTopKNode(AccessorNode):
     _sig_fields = ("user_instruction", "K")
 
     user_instruction: str = Field(
-        description="Natural language ranking criterion. Use {ColumnName} to reference columns."
+        description="Ranking criterion in natural language; wrap column names in braces."
     )
     K: int
     method: str = "quick"
@@ -476,36 +470,36 @@ class _JoinMixin(BaseModel):
 
     model_config = ConfigDict(arbitrary_types_allowed=True)
 
+    _not_forwarded: ClassVar[tuple[str, ...]] = ("right_source_node", "right_lf", "right_df")
+
     right_source_node: SourceNode | None = None
     right_lf: Any = None
     right_df: pd.DataFrame | None = None
 
     def _resolve_right(self, resolver: Resolver) -> pd.DataFrame:
+        # Preference order: a bound frame beats a lazy ref beats a source.
         if self.right_df is not None:
             return self.right_df
-        if self.right_lf is not None:
-            return resolver(self.right_lf)
-        if self.right_source_node is not None:
-            return resolver(self.right_source_node)
-        raise ValueError("Join node has no right DataFrame specified.")
+        candidate = self.right_lf if self.right_lf is not None else self.right_source_node
+        if candidate is None:
+            raise ValueError("Join node has no right DataFrame specified.")
+        return resolver(candidate)
 
     def _right_child_lfs(self) -> list[tuple[str, Any]]:
         from lotus_tpu.ast.lazyframe import LazyFrame
 
-        if isinstance(self.right_lf, LazyFrame):
-            return [("right LazyFrame", self.right_lf)]
-        return []
+        return [("right LazyFrame", self.right_lf)] if isinstance(self.right_lf, LazyFrame) else []
 
 
 class SemJoinNode(_CascadeSelfUpdateMixin, _JoinMixin, AccessorNode):
     """Join two DataFrames on a natural-language predicate."""
 
     _accessor = "sem_join"
-    _positional = ()
+    _positional = ("join_instruction",)
     _sig_fields = ("join_instruction", "how", "suffix")
 
     join_instruction: str = Field(
-        description="Natural language join predicate between left and right DataFrames. Use {ColumnName} to reference columns from either side."
+        description="Predicate relating a left row to a right row; wrap columns in braces, tagging {col:left}/{col:right} when ambiguous."
     )
     return_explanations: bool = False
     how: str = "inner"
@@ -522,20 +516,9 @@ class SemJoinNode(_CascadeSelfUpdateMixin, _JoinMixin, AccessorNode):
         right = self._resolve_right(resolver)
 
         def run(with_stats: bool) -> Any:
-            return df.sem_join(
-                right,
-                self.join_instruction,
-                return_explanations=self.return_explanations,
-                how=self.how,
-                suffix=self.suffix,
-                examples=self.examples,
-                strategy=self.strategy,
-                default=self.default,
-                cascade_args=self.cascade_args,
-                return_stats=with_stats,
-                safe_mode=self.safe_mode,
-                progress_bar_desc=self.progress_bar_desc,
-            )
+            _, kwargs = self._call_kwargs()
+            kwargs["return_stats"] = with_stats
+            return df.sem_join(right, self.join_instruction, **kwargs)
 
         return self._run_with_cascade_learning(run, "join_cascade_pos_threshold", context, self.return_stats)
 
@@ -558,17 +541,8 @@ class SemSimJoinNode(_JoinMixin, AccessorNode):
     keep_index: bool = False
 
     def __call__(self, df: pd.DataFrame, resolver: Resolver = _no_resolver, **context: Any) -> Any:
-        right = self._resolve_right(resolver)
-        return df.sem_sim_join(
-            right,
-            left_on=self.left_on,
-            right_on=self.right_on,
-            K=self.K,
-            lsuffix=self.lsuffix,
-            rsuffix=self.rsuffix,
-            score_suffix=self.score_suffix,
-            keep_index=self.keep_index,
-        )
+        _, kwargs = self._call_kwargs()
+        return df.sem_sim_join(self._resolve_right(resolver), **kwargs)
 
     def child_lfs(self) -> list[tuple[str, Any]]:
         return self._right_child_lfs()
@@ -581,7 +555,7 @@ class SemSearchNode(AccessorNode):
     _positional = ("col_name", "query")
 
     col_name: str
-    query: str = Field(description="Natural language query for semantic similarity search.")
+    query: str = Field(description="Free-text query scored against the indexed column.")
     K: int | None = None
     n_rerank: int | None = None
     return_scores: bool = False
@@ -658,17 +632,23 @@ class PandasOpNode(BaseNode):
     lf_args: dict[str, Any] | None = None
     lf_kwargs: dict[str, Any] | None = None
 
+    def _materialized_call(self, resolver: Resolver) -> tuple[list[Any], dict[str, Any]]:
+        """Args/kwargs with every deferred LazyFrame slot resolved."""
+        args, kwargs = list(self.args), dict(self.kwargs or {})
+        for slot, lazy in (self.lf_args or {}).items():
+            args[int(slot.rsplit("_", 1)[-1])] = resolver(lazy)
+        for slot, lazy in (self.lf_kwargs or {}).items():
+            kwargs[slot.removeprefix("_lf_kwarg_")] = resolver(lazy)
+        return args, kwargs
+
     def __call__(self, df: pd.DataFrame, resolver: Resolver = _no_resolver, **context: Any) -> Any:
+        target = getattr(df, self.op_name)
         if self.is_attr:
-            return getattr(df, self.op_name)
-        args = list(self.args)
-        kwargs = dict(self.kwargs or {})
-        for key, lf in (self.lf_args or {}).items():
-            args[int(key.rsplit("_", 1)[-1])] = resolver(lf)
-        for key, lf in (self.lf_kwargs or {}).items():
-            kwargs[key.removeprefix("_lf_kwarg_")] = resolver(lf)
-        result = getattr(df, self.op_name)(*args, **kwargs)
-        return result if result is not None else df
+            return target
+        args, kwargs = self._materialized_call(resolver)
+        result = target(*args, **kwargs)
+        # In-place pandas methods return None; keep the frame flowing.
+        return df if result is None else result
 
     def signature(self) -> str:
         if self.is_attr:
@@ -676,26 +656,23 @@ class PandasOpNode(BaseNode):
         if self.op_name == "__getitem__":
             return f"[{self.args[0]!r}]"
         if self.op_name == "assign":
-            cols = list((self.kwargs or {}).keys())
-            for key in self.lf_kwargs or {}:
-                name = key.removeprefix("_lf_kwarg_")
-                if name not in cols:
-                    cols.append(name)
-            return f"assign({', '.join(cols)}=...)"
-        parts = [repr(a) for a in self.args] + [f"{k}={v!r}" for k, v in (self.kwargs or {}).items()]
-        return f"{self.op_name}({', '.join(parts)})"
+            assigned = dict.fromkeys(self.kwargs or {})
+            assigned.update(
+                dict.fromkeys(k.removeprefix("_lf_kwarg_") for k in self.lf_kwargs or {})
+            )
+            return f"assign({', '.join(assigned)}=...)"
+        rendered = [repr(a) for a in self.args]
+        rendered += [f"{k}={v!r}" for k, v in (self.kwargs or {}).items()]
+        return f"{self.op_name}({', '.join(rendered)})"
 
     def child_lfs(self) -> list[tuple[str, Any]]:
         from lotus_tpu.ast.lazyframe import LazyFrame
 
-        refs = []
-        for key, lf in (self.lf_args or {}).items():
-            if isinstance(lf, LazyFrame):
-                refs.append((f"arg {key}", lf))
-        for key, lf in (self.lf_kwargs or {}).items():
-            if isinstance(lf, LazyFrame):
-                refs.append((f"kwarg {key.removeprefix('_lf_kwarg_')}", lf))
-        return refs
+        deferred = [(f"arg {k}", v) for k, v in (self.lf_args or {}).items()]
+        deferred += [
+            (f"kwarg {k.removeprefix('_lf_kwarg_')}", v) for k, v in (self.lf_kwargs or {}).items()
+        ]
+        return [(label, v) for label, v in deferred if isinstance(v, LazyFrame)]
 
 
 # ------------------------------------------------------------------ eval nodes
@@ -707,7 +684,7 @@ class LLMAsJudgeNode(AccessorNode):
     _sig_fields = ("judge_instruction", "n_trials")
 
     judge_instruction: str = Field(
-        description="Natural language instruction guiding the judging process. Use {ColumnName} to reference columns."
+        description="What the judge should assess, in natural language; wrap column names in braces."
     )
     response_format: Any = None
     n_trials: int = 1
@@ -735,7 +712,7 @@ class PairwiseJudgeNode(_CascadeSelfUpdateMixin, AccessorNode):
     col1: str
     col2: str
     judge_instruction: str = Field(
-        description="Natural language instruction guiding the pairwise judging. Use {ColumnName} to reference columns."
+        description="The criterion for preferring one column over the other; wrap column names in braces."
     )
     n_trials: int = 1
     permute_cols: bool = False
@@ -767,14 +744,14 @@ class PairwiseJudgeNode(_CascadeSelfUpdateMixin, AccessorNode):
     def resolve_optimizable_param_value(self, param_name: str) -> Any:
         if param_name == self._HELPER_PARAM:
             if self.cascade_args is None:
-                raise ValueError("cascade_args is required to resolve helper filter instruction")
+                raise ValueError("Resolving the helper instruction requires cascade_args")
             return self.cascade_args.helper_filter_instruction or self._effective_sem_filter_user_instruction()
         return super().resolve_optimizable_param_value(param_name)
 
     def apply_optimizable_param_value(self, param_name: str, value: Any) -> BaseNode:
         if param_name == self._HELPER_PARAM:
             if self.cascade_args is None:
-                raise ValueError("cascade_args is required to set helper filter instruction")
+                raise ValueError("Setting the helper instruction requires cascade_args")
             return self.model_copy(
                 update={"cascade_args": self.cascade_args.model_copy(update={"helper_filter_instruction": value})}
             )
@@ -798,32 +775,29 @@ class ApplyFnNode(BaseNode):
     kwargs: dict[str, Any] | None = None
 
     def __call__(self, df: pd.DataFrame | None = None, resolver: Resolver = _no_resolver, **context: Any) -> Any:
-        args = tuple(resolver(a) for a in self.args)
-        kwargs = {k: resolver(v) for k, v in (self.kwargs or {}).items()}
-        return self.fn(*args, **kwargs)
+        return self.fn(
+            *(resolver(a) for a in self.args),
+            **{k: resolver(v) for k, v in (self.kwargs or {}).items()},
+        )
 
     def signature(self) -> str:
-        fn_name = getattr(self.fn, "__name__", repr(self.fn))
-        parts = [repr(a) for a in self.args] + [f"{k}={v!r}" for k, v in (self.kwargs or {}).items()]
-        return f"{fn_name}({', '.join(parts)})"
+        rendered = [repr(a) for a in self.args]
+        rendered += [f"{k}={v!r}" for k, v in (self.kwargs or {}).items()]
+        return f"{getattr(self.fn, '__name__', repr(self.fn))}({', '.join(rendered)})"
 
     def child_lfs(self) -> list[tuple[str, Any]]:
         from lotus_tpu.ast.lazyframe import LazyFrame
 
-        refs: list[tuple[str, Any]] = []
-
-        def scan(value: Any, label: str) -> None:
+        # Iterative walk over nested containers, tracking a display label.
+        found: list[tuple[str, Any]] = []
+        frontier: list[tuple[str, Any]] = [(f"arg {i}", a) for i, a in enumerate(self.args)]
+        frontier += [(f"kwarg {k}", v) for k, v in (self.kwargs or {}).items()]
+        while frontier:
+            label, value = frontier.pop(0)
             if isinstance(value, LazyFrame):
-                refs.append((label, value))
+                found.append((label, value))
             elif isinstance(value, (list, tuple)):
-                for i, v in enumerate(value):
-                    scan(v, f"{label}[{i}]")
+                frontier.extend((f"{label}[{i}]", v) for i, v in enumerate(value))
             elif isinstance(value, dict):
-                for k, v in value.items():
-                    scan(v, f"{label}.{k}")
-
-        for i, arg in enumerate(self.args):
-            scan(arg, f"arg {i}")
-        for k, v in (self.kwargs or {}).items():
-            scan(v, f"kwarg {k}")
-        return refs
+                frontier.extend((f"{label}.{k}", v) for k, v in value.items())
+        return found

@@ -38,17 +38,12 @@ def _reject_format_with_cot(response_format: type[BaseModel] | None, strategy: R
 
 
 def llm_as_judge(
-    docs: list[dict[str, Any]],
-    model: LM,
-    judge_instruction: str,
-    response_format: type[BaseModel] | None = None,
-    n_trials: int = 1,
+    docs: list[dict[str, Any]], model: LM, judge_instruction: str,
+    response_format: type[BaseModel] | None = None, n_trials: int = 1,
     system_prompt: str | None = None,
     postprocessor: Callable[..., SemanticMapPostprocessOutput] = map_postprocess,
-    shots: FewShot | None = None,
-    strategy: ReasoningStrategy | None = None,
-    safe_mode: bool = False,
-    progress_bar_desc: str = "Evaluating",
+    shots: FewShot | None = None, strategy: ReasoningStrategy | None = None,
+    safe_mode: bool = False, progress_bar_desc: str = "Evaluating",
     **model_kwargs: Any,
 ) -> list[SemanticMapOutput | list[BaseModel]]:
     """Judge every doc ``n_trials`` times.
@@ -63,16 +58,10 @@ def llm_as_judge(
 
     def one_trial(_: int) -> SemanticMapOutput:
         return sem_map(
-            docs,
-            model,
-            judge_instruction,
-            system_prompt=system_prompt,
-            postprocessor=postprocessor,
-            shots=shots,
-            strategy=strategy,
-            safe_mode=safe_mode,
-            progress_bar_desc=progress_bar_desc,
-            response_format=response_format,
+            docs, model, judge_instruction,
+            system_prompt=system_prompt, postprocessor=postprocessor,
+            shots=shots, strategy=strategy, safe_mode=safe_mode,
+            progress_bar_desc=progress_bar_desc, response_format=response_format,
             **model_kwargs,
         )
 
@@ -98,22 +87,16 @@ class LLMAsJudgeDataframe(SemAccessor):
 
     @operator_cache
     def __call__(
-        self,
-        judge_instruction: str,
-        response_format: type[BaseModel] | None = None,
-        n_trials: int = 1,
+        self, judge_instruction: str,
+        response_format: type[BaseModel] | None = None, n_trials: int = 1,
         system_prompt: str | None = None,
         postprocessor: Callable[..., SemanticMapPostprocessOutput] = map_postprocess,
-        return_raw_outputs: bool = False,
-        return_explanations: bool = False,
-        suffix: str = "_judge",
-        examples: pd.DataFrame | None = None,
+        return_raw_outputs: bool = False, return_explanations: bool = False,
+        suffix: str = "_judge", examples: pd.DataFrame | None = None,
         cot_reasoning: list[str] | None = None,
         strategy: ReasoningStrategy | None = None,
-        extra_cols_to_include: list[str] | None = None,
-        safe_mode: bool = False,
-        progress_bar_desc: str = "Evaluating",
-        **model_kwargs: Any,
+        extra_cols_to_include: list[str] | None = None, safe_mode: bool = False,
+        progress_bar_desc: str = "Evaluating", **model_kwargs: Any,
     ) -> pd.DataFrame:
         model = self._lm()
         _reject_format_with_cot(response_format, strategy)
@@ -124,18 +107,11 @@ class LLMAsJudgeDataframe(SemAccessor):
             cols = [c for c in cols if c not in extra_cols_to_include] + extra_cols_to_include
 
         trials = llm_as_judge(
-            task_instructions.df2multimodal_info(self._obj, cols),
-            model,
-            rendered,
-            response_format=response_format,
-            n_trials=n_trials,
-            system_prompt=system_prompt,
-            postprocessor=postprocessor,
-            shots=unpack_examples(examples, cols, strategy),
-            strategy=strategy,
-            safe_mode=safe_mode,
-            progress_bar_desc=progress_bar_desc,
-            **model_kwargs,
+            task_instructions.df2multimodal_info(self._obj, cols), model, rendered,
+            response_format=response_format, n_trials=n_trials,
+            system_prompt=system_prompt, postprocessor=postprocessor,
+            shots=unpack_examples(examples, cols, strategy), strategy=strategy,
+            safe_mode=safe_mode, progress_bar_desc=progress_bar_desc, **model_kwargs,
         )
 
         out = self._obj.copy()

@@ -19,6 +19,7 @@ import pandas as pd
 
 import lotus_tpu
 from lotus_tpu.cache import operator_cache
+from lotus_tpu.sem_ops._accessor import SemAccessor
 
 
 def _connected_components(pairs: set[tuple[Any, Any]]) -> list[list[Any]]:
@@ -41,36 +42,18 @@ def _connected_components(pairs: set[tuple[Any, Any]]) -> list[list[Any]]:
 
 
 @pd.api.extensions.register_dataframe_accessor("sem_dedup")
-class SemDedupByDataframe:
+class SemDedupByDataframe(SemAccessor):
     """Drop near-duplicate rows of an indexed column.
 
     Example:
         >>> df.sem_index("text", "idx").sem_dedup("text", threshold=0.9)
     """
 
-    def __init__(self, pandas_obj: Any):
-        self._validate(pandas_obj)
-        self._obj = pandas_obj
-
-    @staticmethod
-    def _validate(obj: Any) -> None:
-        if not isinstance(obj, pd.DataFrame):
-            raise AttributeError("Must be a DataFrame")
-
     @operator_cache
     def __call__(
-        self,
-        col_name: str,
-        threshold: float,
-        max_neighbors: int | None = 64,
+        self, col_name: str, threshold: float, max_neighbors: int | None = 64,
     ) -> pd.DataFrame:
-        from lotus_tpu.settings import settings
-
-        if settings.rm is None or settings.vs is None:
-            raise ValueError(
-                "Configure a retrieval model (rm) and vector store (vs) via "
-                "lotus_tpu.settings.configure() before deduplicating."
-            )
+        self._rm(), self._vs()
         K = len(self._obj) if max_neighbors is None else min(max_neighbors + 1, len(self._obj))
         joined_df = self._obj.sem_sim_join(
             self._obj, col_name, col_name, K, lsuffix="_l", rsuffix="_r"

@@ -75,6 +75,52 @@ def cluster(col_name: str, ncentroids: int) -> Callable[..., list[int]]:
     return ret
 
 
+# --------------------------------------------------------------- image refs
+def _open_http(ref: str):
+    import requests
+    from PIL import Image
+
+    return Image.open(requests.get(ref, stream=True).raw)
+
+
+def _open_file_url(ref: str):
+    from PIL import Image
+
+    return Image.open(ref[len("file://"):])
+
+
+def _open_data_url(ref: str):
+    from PIL import Image
+
+    if "base64," not in ref:
+        return None
+    payload = ref.split("base64,", 1)[1]
+    return Image.open(BytesIO(base64.b64decode(payload)))
+
+
+def _open_s3(ref: str):
+    from PIL import Image
+
+    try:
+        import boto3
+    except ImportError as exc:
+        raise ValueError("boto3 is required for s3:// image refs.") from exc
+    try:
+        bucket, key = ref[len("s3://"):].split("/", 1)
+        blob = boto3.client("s3").get_object(Bucket=bucket, Key=key)["Body"].read()
+        return Image.open(BytesIO(blob))
+    except Exception as exc:
+        raise ValueError(f"Failed to fetch image from S3: {exc}") from exc
+
+
+_IMAGE_SCHEMES: list[tuple[tuple[str, ...], Callable[[str], Any]]] = [
+    (("http://", "https://"), _open_http),
+    (("file://",), _open_file_url),
+    (("data:image",), _open_data_url),
+    (("s3://",), _open_s3),
+]
+
+
 def fetch_image(image: Any, image_type: str = "Image"):
     """Load an image from path / http(s) url / file:// / data:base64 / s3:// /
     ndarray / PIL.Image.  Returns a PIL image (RGB), or a base64 data URL when
@@ -84,45 +130,28 @@ def fetch_image(image: Any, image_type: str = "Image"):
     if image is None:
         return None
 
-    image_obj = None
+    loaded = None
     if isinstance(image, Image.Image):
-        image_obj = image
+        loaded = image
     elif isinstance(image, np.ndarray):
-        image_obj = Image.fromarray(image.astype("uint8"))
+        loaded = Image.fromarray(image.astype("uint8"))
     elif isinstance(image, str):
-        if image.startswith(("http://", "https://")):
-            import requests
-
-            image_obj = Image.open(requests.get(image, stream=True).raw)
-        elif image.startswith("file://"):
-            image_obj = Image.open(image[7:])
-        elif image.startswith("data:image"):
-            if "base64," in image:
-                _, b64 = image.split("base64,", 1)
-                image_obj = Image.open(BytesIO(base64.b64decode(b64)))
-        elif image.startswith("s3://"):
-            try:
-                import boto3
-
-                bucket, key = image[5:].split("/", 1)
-                body = boto3.client("s3").get_object(Bucket=bucket, Key=key)["Body"].read()
-                image_obj = Image.open(BytesIO(body))
-            except ImportError as e:
-                raise ValueError("boto3 is required for s3:// image refs.") from e
-            except Exception as e:
-                raise ValueError(f"Failed to fetch image from S3: {e}") from e
-        else:
-            image_obj = Image.open(image)
-    if image_obj is None:
+        opener = next(
+            (fn for prefixes, fn in _IMAGE_SCHEMES if image.startswith(prefixes)),
+            Image.open,  # bare string: treat as a local path
+        )
+        loaded = opener(image)
+    if loaded is None:
         raise ValueError(
             f"Unrecognized image input; supported: local path, http url, base64, s3, PIL.Image. Got {image!r}"
         )
-    image_obj = image_obj.convert("RGB")
-    if image_type == "base64":
-        buf = BytesIO()
-        image_obj.save(buf, format="PNG")
-        return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode("utf-8")
-    return image_obj
+
+    loaded = loaded.convert("RGB")
+    if image_type != "base64":
+        return loaded
+    buf = BytesIO()
+    loaded.save(buf, format="PNG")
+    return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode("utf-8")
 
 
 def show_safe_mode(estimated_cost: Any, estimated_LM_calls: Any) -> None:
@@ -130,10 +159,12 @@ def show_safe_mode(estimated_cost: Any, estimated_LM_calls: Any) -> None:
     print(f"Estimated cost: {estimated_cost} tokens")
     print(f"Estimated LM calls: {estimated_LM_calls}")
     try:
-        for i in range(5, 0, -1):
-            print(f"Proceeding execution in {i} seconds... Press CTRL+C to cancel", end="\r")
+        remaining = 5
+        while remaining:
+            print(f"Proceeding execution in {remaining} seconds... Press CTRL+C to cancel", end="\r")
             time.sleep(1)
             print(" " * 60, end="\r")
+            remaining -= 1
         print("\n")
     except KeyboardInterrupt:
         print("\nExecution cancelled by user")

@@ -1,3 +1,5 @@
+"""Pandas extension dtypes (images) and payload coercion helpers."""
+
 from typing import Union
 
 import pandas as pd
@@ -9,11 +11,11 @@ pd.api.extensions.register_extension_dtype(ImageDtype)
 
 def convert_to_base_data(data: Union[pd.Series, list]) -> list:
     """Coerce a Series (possibly image-typed) or list to base python values."""
-    if isinstance(data, pd.Series):
-        if isinstance(data.dtype, ImageDtype):
-            return [data.array.get_image(i) for i in range(len(data))]
-        return data.tolist()
-    return data
+    if not isinstance(data, pd.Series):
+        return data
+    if isinstance(data.dtype, ImageDtype):
+        return [data.array.get_image(pos) for pos in range(len(data))]
+    return data.tolist()
 
 
 __all__ = ["ImageDtype", "ImageArray", "convert_to_base_data"]

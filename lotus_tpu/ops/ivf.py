@@ -78,15 +78,18 @@ def build_ivf(
         total = int(padded_size.sum())
         sorted_vecs = np.zeros((total, d), np.float32)
         row_ids = np.full(total, NO_HIT, np.int32)
-        src = 0
+        # Vectorized scatter: row r (in assignment-sorted order) lands at its
+        # list's start plus its rank within the list.  One argsort + one
+        # fancy-indexed write; chunked so the 10M x 768 case streams instead
+        # of materializing a second full copy.
         csum = np.zeros(nlist + 1, np.int64)
         csum[1:] = np.cumsum(list_size)
-        for li in range(nlist):
-            s = int(list_size[li])
-            rows = order[csum[li] : csum[li] + s]
-            sorted_vecs[list_start[li] : list_start[li] + s] = emb[rows]
-            row_ids[list_start[li] : list_start[li] + s] = rows
-            src += s
+        rank_in_list = np.arange(n, dtype=np.int64) - csum[assign[order]]
+        dest = list_start.astype(np.int64)[assign[order]] + rank_in_list
+        row_ids[dest] = order
+        chunk = max(1, (1 << 28) // max(d * 4, 1))  # ~256 MB of rows per pass
+        for s in range(0, n, chunk):
+            sorted_vecs[dest[s : s + chunk]] = emb[order[s : s + chunk]]
         window = max(block_align, int(((max_list + block_align - 1) // block_align) * block_align))
     else:
         sorted_vecs = emb[order]

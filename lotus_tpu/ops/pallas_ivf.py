@@ -125,7 +125,9 @@ def _probe_kernel(qtab_ref, btab_ref, vtab_ref, xq_ref, xb_ref, *rest, int8_dot,
     _bucket_top2_write(get_slice, btab_ref[u] * BL, out_s_ref, out_i_ref)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "max_blocks", "metric", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "max_blocks", "metric", "interpret", "int8_queries")
+)
 def _grouped_probe_pallas(
     centroids: jnp.ndarray,
     xb_sorted: jnp.ndarray,
@@ -140,6 +142,7 @@ def _grouped_probe_pallas(
     max_blocks: int,
     metric: str,
     interpret: bool,
+    int8_queries: bool,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     b, d = xq.shape
     nlist = list_start.shape[0]
@@ -147,7 +150,13 @@ def _grouped_probe_pallas(
     nbk = BL // BUCKET
     is_int8 = xb_sorted.dtype == jnp.int8
     is_l2 = metric == "l2"
-    int8_dot = is_int8 and not is_l2  # l2 keeps queries bf16 (see kernel doc)
+    # Mixed precision is the default for int8 storage: the db stays int8 in
+    # HBM (the bandwidth win) but queries ride in bf16, so quantization noise
+    # enters from one side only — measured worth ~1-2 recall points.  Full
+    # int8 x int8 (int8_queries=True) trades those points for int8-MXU rate;
+    # l2 always keeps queries bf16 (the query scale is not rank-neutral
+    # under the norm subtraction).
+    int8_dot = is_int8 and int8_queries and not is_l2
 
     # Coarse ranking always uses the float queries.
     _, probe_lists = flat_search(centroids, xq, nprobe, metric=metric)
@@ -310,6 +319,7 @@ def ivf_search_pallas(
     nprobe: int,
     metric: str = "ip",
     interpret: bool = False,
+    int8_queries: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Grouped IVF probe via the Pallas block-DMA kernel (ip/cosine/l2).
 
@@ -350,6 +360,7 @@ def ivf_search_pallas(
         max_blocks,
         metric,
         interpret,
+        int8_queries,
     )
     dists = as_distance(scores, metric)
     if metric == "l2":

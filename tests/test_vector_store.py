@@ -107,14 +107,40 @@ def test_ivf_partial_probe_recall(tmp_path, data):
     assert recall >= 0.5
 
 
-def test_ivf_subset_falls_back_to_flat(tmp_path, data):
+def test_ivf_subset_search_is_exact(tmp_path, data):
+    """ids-restricted IVF search gathers just the subset and scans exactly —
+    results must match brute force over the subset, with no flat-array copy."""
     emb, queries = data
     vs = TpuVS(index_type="ivf", nlist=16, nprobe=4)
     vs.index([], emb, str(tmp_path / "ivf"))
-    ids = list(range(100))
+    ids = list(range(0, 1200, 7))
     out = vs(queries, 5, ids=ids)
     got = np.asarray(out.indices)
     assert set(got.flatten()) <= set(ids)
+
+    sub = np.asarray(ids)
+    ref_scores = queries @ emb[sub].T
+    ref = sub[np.argsort(-ref_scores, axis=1)[:, :5]]
+    assert np.array_equal(got, ref)
+    # The subset path must not have materialized the full flat scan array.
+    assert "xb" not in (vs._state or {})
+    assert vs.stats["subset_searches"] == 1
+
+
+def test_ivf_subset_search_int8(tmp_path, data):
+    emb, queries = data
+    vs = TpuVS(index_type="ivf", nlist=16, nprobe=4, device_dtype="int8")
+    vs.index([], emb, str(tmp_path / "ivf8"))
+    ids = list(range(0, 1200, 3))
+    out = vs(queries, 5, ids=ids)
+    got = np.asarray(out.indices)
+    assert set(got.flatten()) <= set(ids)
+    # int8 quantization perturbs scores; top-1 of a near-duplicate query is
+    # robust to it.
+    sub = np.asarray(ids)
+    ref_scores = queries @ emb[sub].T
+    ref_top1 = sub[np.argmax(ref_scores, axis=1)]
+    assert (got[:, 0] == ref_top1).mean() >= 0.9
 
 
 def test_l2_metric_store(tmp_path):

@@ -143,6 +143,8 @@ def _grouped_probe_pallas(
     metric: str,
     interpret: bool,
     int8_queries: bool,
+    owned: jnp.ndarray | None = None,
+    probe_lists: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     b, d = xq.shape
     nlist = list_start.shape[0]
@@ -158,8 +160,14 @@ def _grouped_probe_pallas(
     # under the norm subtraction).
     int8_dot = is_int8 and int8_queries and not is_l2
 
-    # Coarse ranking always uses the float queries.
-    _, probe_lists = flat_search(centroids, xq, nprobe, metric=metric)
+    # Coarse ranking always uses the float queries; under shard_map the
+    # caller passes the (replicated) ranking in so it is computed once.
+    if probe_lists is None:
+        _, probe_lists = flat_search(centroids, xq, nprobe, metric=metric)
+    # Sharded probes own a subset of lists: zeroing the others' sizes makes
+    # their pairs produce no work units, so non-owned candidates never exist.
+    if owned is not None:
+        list_size = jnp.where(owned, list_size, 0)
 
     if int8_dot:
         from lotus_tpu.ops.quant import quantize_rows

@@ -10,7 +10,7 @@ all-gather merge, and k-means with psum'd centroid statistics
 from lotus_tpu.parallel.mesh import default_mesh, shard_rows
 from lotus_tpu.parallel.search import sharded_flat_search
 from lotus_tpu.parallel.kmeans import sharded_kmeans_fit
-from lotus_tpu.parallel.ivf import shard_ivf_state, sharded_ivf_search
+from lotus_tpu.parallel.ivf import shard_ivf_state, sharded_ivf_search, sharded_ivf_search_pallas
 
 __all__ = [
     "default_mesh",
@@ -19,4 +19,5 @@ __all__ = [
     "sharded_kmeans_fit",
     "shard_ivf_state",
     "sharded_ivf_search",
+    "sharded_ivf_search_pallas",
 ]

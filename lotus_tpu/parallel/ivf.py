@@ -73,7 +73,10 @@ def shard_ivf_state(state: dict[str, Any], mesh: Mesh, axis_name: str = SHARD_AX
         per_dev.append((row_lo, row_hi, vecs, ids, local_start, owned))
         max_rows = max(max_rows, len(vecs))
 
-    max_rows = round_up(max_rows + window, 8)  # window overshoot room
+    # Window overshoot room; block-aligned builds keep every shard's row
+    # count a BL multiple so the Pallas grouped probe can run per shard.
+    align = max(8, int(state["meta"].get("block_align", 0)) or 8)
+    max_rows = round_up(max_rows + window, align)
     stacked_vecs = np.zeros((n_dev, max_rows, vectors.shape[1]), vectors.dtype)
     stacked_ids = np.full((n_dev, max_rows), NO_HIT, np.int32)
     stacked_start = np.zeros((n_dev, nlist), np.int32)
@@ -108,6 +111,94 @@ def shard_ivf_state(state: dict[str, Any], mesh: Mesh, axis_name: str = SHARD_AX
     if stacked_norms is not None:
         out["norms"] = jax.device_put(jnp.asarray(stacked_norms), row_shard)
     return out
+
+
+def sharded_ivf_search_pallas(
+    sharded: dict[str, Any],
+    xq: jnp.ndarray,
+    k: int,
+    *,
+    nprobe: int,
+    metric: str,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Large-batch sharded IVF search: the Pallas grouped probe per shard.
+
+    Each device runs the scalar-prefetched block-DMA probe over the lists it
+    owns (non-owned probes contribute no work units), then the per-shard
+    top-k candidates ride the ICI as one all_gather and every device merges
+    identically.  This is the single-chip winner (docs/benchmarks.md) made
+    multi-chip: throughput scales with devices because each shard streams
+    only its own probed blocks.
+    """
+    from lotus_tpu.ops.pallas_ivf import BL, _grouped_probe_pallas
+
+    mesh: Mesh = sharded["mesh"]
+    axis_name: str = sharded["axis_name"]
+    meta = sharded["meta"]
+    if int(meta.get("block_align", 0)) != BL:
+        raise ValueError(f"sharded Pallas probe requires a block_align={BL} build")
+    nlist = int(meta["nlist"])
+    window = int(meta["probe_window"])
+    nprobe = max(1, min(nprobe, nlist))
+    max_blocks = max(1, window // BL)
+
+    squeeze = xq.ndim == 1
+    if squeeze:
+        xq = xq[None, :]
+    xq = xq.astype(jnp.float32)
+    b = xq.shape[0]
+    n_dev = mesh.shape[axis_name]
+    centroids = sharded["centroids"]
+    list_size = sharded["list_size"]
+    has_scales = "scales" in sharded
+    has_norms = "norms" in sharded
+
+    def local_probe(vecs, row_ids, list_start, owned, xq_rep, *extra):
+        vecs, row_ids, list_start, owned = vecs[0], row_ids[0], list_start[0], owned[0]
+        scales = extra[0][0] if has_scales else None
+        shard_norms = extra[-1][0] if has_norms else None
+
+        _, probe_lists = flat_search(centroids, xq_rep, nprobe, metric=metric)
+        top_s, top_ids = _grouped_probe_pallas(
+            centroids, vecs, row_ids, list_start, list_size,
+            xq_rep, scales, shard_norms if metric == "l2" else None,
+            k, nprobe, max_blocks, metric, interpret, False,
+            owned=owned, probe_lists=probe_lists,
+        )
+
+        all_s = jax.lax.all_gather(top_s, axis_name, axis=0)  # (n_dev, B, k)
+        all_i = jax.lax.all_gather(top_ids, axis_name, axis=0)
+        cand_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_dev * k)
+        cand_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_dev * k)
+        merged_s, pos = jax.lax.top_k(cand_s, k)
+        return merged_s, jnp.take_along_axis(cand_i, pos, axis=1)
+
+    in_specs = [
+        P(axis_name, None, None), P(axis_name, None),
+        P(axis_name, None), P(axis_name, None), P(),
+    ]
+    operands = [sharded["vecs"], sharded["row_ids"], sharded["list_start"], sharded["owned"], xq]
+    if has_scales:
+        in_specs.append(P(axis_name, None))
+        operands.append(sharded["scales"])
+    if has_norms:
+        in_specs.append(P(axis_name, None))
+        operands.append(sharded["norms"])
+    fn = jax.shard_map(
+        local_probe, mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    top_s, top_i = fn(*operands)
+
+    dists = as_distance(top_s, metric)
+    if metric == "l2":
+        q_norms = jnp.sum(jnp.square(xq), axis=-1, keepdims=True)
+        dists = jnp.where(top_i == NO_HIT, jnp.finfo(jnp.float32).max, dists + q_norms)
+    if squeeze:
+        return dists[0], top_i[0]
+    return dists, top_i
 
 
 def sharded_ivf_search(

@@ -302,17 +302,24 @@ class TpuVS(VS):
 
                 use_pallas = (
                     int(meta.get("block_align", 0)) == _PALLAS_BL
-                    and "ivf_sharded" not in state
                     and (jax.default_backend() == "tpu" or self._pallas_interpret)
                 )
         if use_pallas:
-            from lotus_tpu.ops.pallas_ivf import ivf_search_pallas
-
             nprobe = int(kwargs.get("nprobe", self.nprobe))
-            dists, idx = ivf_search_pallas(
-                state, jnp.asarray(xq), k_eff, nprobe=nprobe,
-                metric=meta["metric"], interpret=self._pallas_interpret,
-            )
+            if "ivf_sharded" in state:
+                from lotus_tpu.parallel import sharded_ivf_search_pallas
+
+                dists, idx = sharded_ivf_search_pallas(
+                    state["ivf_sharded"], jnp.asarray(xq), k_eff, nprobe=nprobe,
+                    metric=meta["metric"], interpret=self._pallas_interpret,
+                )
+            else:
+                from lotus_tpu.ops.pallas_ivf import ivf_search_pallas
+
+                dists, idx = ivf_search_pallas(
+                    state, jnp.asarray(xq), k_eff, nprobe=nprobe,
+                    metric=meta["metric"], interpret=self._pallas_interpret,
+                )
         elif use_ivf:
             nprobe = int(kwargs.get("nprobe", self.nprobe))
             if "ivf_sharded" in state:

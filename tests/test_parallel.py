@@ -179,3 +179,61 @@ def test_sharded_int8_store(mesh, tmp_path):
     ref = np.argsort(-(queries @ emb.T), axis=1)[:, :5]
     recall = np.mean([len(set(got[i]) & set(ref[i])) / 5 for i in range(4)])
     assert recall >= 0.9
+
+
+def test_sharded_pallas_probe_matches_single_device(mesh, tmp_path):
+    """The Pallas grouped probe under shard_map (interpret mode) returns the
+    same neighbour sets as the single-device Pallas probe."""
+    from lotus_tpu.ops import io as index_io
+    from lotus_tpu.ops.ivf import build_ivf, load_ivf_state
+    from lotus_tpu.ops.pallas_ivf import ivf_search_pallas
+    from lotus_tpu.parallel.ivf import shard_ivf_state, sharded_ivf_search_pallas
+
+    rng = np.random.default_rng(9)
+    n, d, b, k = 6144, 32, 8, 10
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:b] + 0.02 * rng.standard_normal((b, d)).astype(np.float32)
+
+    idx_dir = str(tmp_path / "ivf_blk")
+    meta = {"kind": "ivf", "metric": "ip",
+            **build_ivf(idx_dir, emb, nlist=8, metric="ip", block_align=512)}
+    state = load_ivf_state(idx_dir, meta, jnp.float32)
+    state["meta"] = meta
+
+    ref_d, ref_i = ivf_search_pallas(
+        state, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True
+    )
+    sharded = shard_ivf_state(state, mesh)
+    got_d, got_i = sharded_ivf_search_pallas(
+        sharded, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True
+    )
+    for q in range(b):
+        assert set(np.asarray(got_i)[q]) == set(np.asarray(ref_i)[q]), q
+    np.testing.assert_allclose(
+        np.sort(np.asarray(got_d), axis=1), np.sort(np.asarray(ref_d), axis=1),
+        rtol=1e-3, atol=1e-3,
+    )
+
+
+def test_sharded_pallas_probe_int8(mesh, tmp_path):
+    from lotus_tpu.ops.ivf import build_ivf, load_ivf_state
+    from lotus_tpu.parallel.ivf import shard_ivf_state, sharded_ivf_search_pallas
+
+    rng = np.random.default_rng(10)
+    n, d, b, k = 6144, 32, 6, 5
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:b] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+
+    idx_dir = str(tmp_path / "ivf_blk8")
+    meta = {"kind": "ivf", "metric": "ip",
+            **build_ivf(idx_dir, emb, nlist=8, metric="ip", block_align=512)}
+    state = load_ivf_state(idx_dir, meta, jnp.int8)
+    state["meta"] = meta
+    sharded = shard_ivf_state(state, mesh)
+    d_out, i_out = sharded_ivf_search_pallas(
+        sharded, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True
+    )
+    got = np.asarray(i_out)
+    assert all(q in got[q] for q in range(b))  # own row always found

@@ -10,6 +10,12 @@ all-gather merge, and k-means with psum'd centroid statistics
 from lotus_tpu.parallel.mesh import default_mesh, shard_rows
 from lotus_tpu.parallel.search import sharded_flat_search
 from lotus_tpu.parallel.kmeans import sharded_kmeans_fit
+from lotus_tpu.parallel.distributed import (
+    hybrid_mesh,
+    init_runtime,
+    load_index_shard,
+    save_index_shards,
+)
 from lotus_tpu.parallel.ivf import shard_ivf_state, sharded_ivf_search, sharded_ivf_search_pallas
 
 __all__ = [
@@ -20,4 +26,8 @@ __all__ = [
     "shard_ivf_state",
     "sharded_ivf_search",
     "sharded_ivf_search_pallas",
+    "init_runtime",
+    "hybrid_mesh",
+    "save_index_shards",
+    "load_index_shard",
 ]

@@ -237,3 +237,38 @@ def test_sharded_pallas_probe_int8(mesh, tmp_path):
     )
     got = np.asarray(i_out)
     assert all(q in got[q] for q in range(b))  # own row always found
+
+
+def test_hybrid_mesh_single_process():
+    from lotus_tpu.parallel.distributed import CHIP_AXIS, HOST_AXIS, hybrid_mesh, init_runtime
+
+    assert init_runtime() is False  # no coordinator env: single-process no-op
+    mesh = hybrid_mesh()
+    assert mesh.shape[HOST_AXIS] == 1
+    assert mesh.shape[CHIP_AXIS] == len(jax.devices())
+
+
+def test_index_shard_roundtrip(tmp_path):
+    from lotus_tpu.parallel.distributed import (
+        load_index_shard,
+        save_index_shards,
+        shard_manifest,
+    )
+
+    rng = np.random.default_rng(3)
+    root = str(tmp_path / "sharded_idx")
+    for sid in range(3):
+        save_index_shards(
+            root,
+            {"vectors": rng.standard_normal((40 + sid, 8)).astype(np.float32),
+             "row_ids": np.arange(40 + sid, dtype=np.int32)},
+            shard_id=sid, num_shards=3, meta={"metric": "ip"},
+        )
+    man = shard_manifest(root)
+    assert man["num_shards"] == 3 and len(man["shards"]) == 3
+    back = load_index_shard(root, 1)
+    assert back["vectors"].shape == (41, 8)
+    assert back["row_ids"].shape == (41,)
+
+    with pytest.raises(FileNotFoundError):
+        load_index_shard(root, 9)

@@ -164,3 +164,45 @@ def test_cascade_optimizer_prewarms_thresholds():
     optimized = lf.optimize([CascadeOptimizer()], train_data=df)
     # The node self-updated with learned thresholds during the pre-warm run.
     assert lf._nodes[1].cascade_args.filter_pos_cascade_threshold is not None
+
+
+def test_prompt_hill_climb_improves_metric(tmp_path):
+    """End-to-end: the hill-climber measurably improves the pipeline metric.
+
+    The fake LM filters correctly only when the instruction mentions
+    "sentiment"; asked to rewrite a prompt, it proposes exactly that wording.
+    The optimizer must adopt the proposal and lift accuracy from ~chance to 1.
+    """
+    from lotus_tpu.ast.optimizer.prompt_optimizer import PromptHillClimbOptimizer
+
+    GOOD = {"great film", "loved it"}
+
+    def responder(prompt, msgs, **kw):
+        text = str(prompt)
+        if "Return ONLY the rewritten instruction" in text:
+            return "the review {text} expresses positive sentiment"
+        if "sentiment" in text:  # the good instruction: answer correctly
+            return "Answer: True" if any(g in text for g in GOOD) else "Answer: False"
+        return "Answer: True"  # the bad instruction: keep everything
+
+    lotus_tpu.settings.configure(lm=make_lm(responder), enable_cache=False)
+    df = pd.DataFrame({"text": ["great film", "loved it", "terrible", "boring mess"]})
+
+    def eval_fn(output, example):
+        kept = set(output["text"]) if len(output) else set()
+        wanted = GOOD
+        correct = len(wanted & kept) + len(set(example["text"]) - wanted - kept)
+        return correct / len(example)
+
+    lf = LazyFrame().sem_filter("keep the good {text}")
+    baseline = eval_fn(lf.execute(df), df)
+    assert baseline < 1.0  # bad instruction keeps everything
+
+    opt = PromptHillClimbOptimizer(eval_fn, n_rounds=1, proposals_per_target=1)
+    tuned_nodes = opt.optimize(lf._nodes, train_data=df)
+    tuned = LazyFrame(_nodes=tuned_nodes)
+    assert eval_fn(tuned.execute(df), df) == 1.0
+    # The winning instruction is the LM's proposal.
+    from lotus_tpu.ast.nodes import SemFilterNode
+    filt = next(n for n in tuned._nodes if isinstance(n, SemFilterNode))
+    assert "sentiment" in filt.user_instruction

@@ -47,24 +47,39 @@ def build_ivf(
     """
     n, d = emb.shape
     nlist = min(nlist, n)
-    x = jnp.asarray(emb)
+
+    # Subsample for training on the HOST, then ship only the sample: the
+    # full array may exceed HBM (10M x 768 f32 = 30 GB vs 16 GB on a v5e).
+    max_train = TRAIN_POINTS_PER_CENTROID * nlist
+    if n > max_train:
+        sel = np.random.default_rng(seed).choice(n, size=max_train, replace=False)
+        sel.sort()
+        train_x = jnp.asarray(emb[sel])
+    else:
+        train_x = jnp.asarray(emb)
 
     res = kmeans_fit(
-        x,
+        train_x,
         nlist,
         iters=train_iters,
         metric="l2",
         spherical=(metric != "l2"),
         key=jax.random.PRNGKey(seed),
-        max_points=TRAIN_POINTS_PER_CENTROID * nlist,
     )
     centroids = np.asarray(res.centroids, dtype=np.float32)
+    del train_x
 
     # Assign by the index metric so probe-time coarse ranking is consistent.
+    # Chunked host->device streaming keeps peak HBM at one chunk + centroids.
     from lotus_tpu.ops.kmeans import kmeans_assign
 
-    assign, _ = kmeans_assign(x, jnp.asarray(centroids), metric=metric)
-    assign = np.asarray(assign)
+    cent_dev = jnp.asarray(centroids)
+    assign = np.empty(n, np.int32)
+    chunk_rows = max(1, (1 << 31) // max(d * 4, 1))  # ~2 GB of f32 rows per pass
+    for s in range(0, n, chunk_rows):
+        a, _ = kmeans_assign(jnp.asarray(emb[s : s + chunk_rows]), cent_dev, metric=metric)
+        assign[s : s + chunk_rows] = np.asarray(a)
+    del cent_dev
 
     order = np.argsort(assign, kind="stable")
     list_size = np.bincount(assign, minlength=nlist).astype(np.int32)
@@ -104,7 +119,7 @@ def build_ivf(
     row_ids = np.concatenate([row_ids, np.full(pad, NO_HIT, np.int32)])
 
     index_io.write_array(index_dir, "ivf_centroids", centroids)
-    index_io.write_array(index_dir, "ivf_vectors", sorted_vecs.astype(np.float32))
+    index_io.write_array(index_dir, "ivf_vectors", np.asarray(sorted_vecs, dtype=np.float32))
     index_io.write_array(index_dir, "ivf_row_ids", row_ids)
     index_io.write_array(index_dir, "ivf_list_start", list_start)
     index_io.write_array(index_dir, "ivf_list_size", list_size)

@@ -5,24 +5,4 @@ from lotus_tpu.agentic.ops import CORPUS_OPS, DEFAULT_OPS, FILTER, MAP, OPS, RED
 from lotus_tpu.agentic.pipeline import Result, run_pipeline
 from lotus_tpu.agentic.planner import DEFAULT_PARALLELISM_CAP, Plan, derive_plan
 
-__all__ = [
-    "AgentResult",
-    "AgentStep",
-    "Completer",
-    "LiteLLMCompleter",
-    "ToolCall",
-    "run_agent",
-    "normalize_ops",
-    "MAP",
-    "FILTER",
-    "REDUCE",
-    "OPS",
-    "CORPUS_OPS",
-    "TERMINAL_OPS",
-    "DEFAULT_OPS",
-    "Plan",
-    "derive_plan",
-    "DEFAULT_PARALLELISM_CAP",
-    "Result",
-    "run_pipeline",
-]
+__all__ = [n for n in dir() if not n.startswith("_")]

@@ -284,11 +284,34 @@ class AccessorNode(BaseNode):
         return f"{self._accessor}({', '.join(parts)})"
 
 
-class _CascadeSelfUpdateMixin(BaseModel):
-    """Nodes whose cascade thresholds self-store when learned during a
-    pre-warm run (context flag ``update_cascade_args``)."""
+class _OutputColumnOpts(BaseModel):
+    """Switches for attaching explanation / raw-output columns."""
 
     model_config = ConfigDict(arbitrary_types_allowed=True)
+
+    return_explanations: bool = False
+    return_raw_outputs: bool = False
+
+
+class _ShotAndStrategyOpts(BaseModel):
+    """Few-shot examples, reasoning strategy, and the safe-mode gate —
+    the option trio shared by every prompt-building operator."""
+
+    model_config = ConfigDict(arbitrary_types_allowed=True)
+
+    examples: pd.DataFrame | None = None
+    strategy: ReasoningStrategy | None = None
+    safe_mode: bool = False
+
+
+class _CascadeSelfUpdateMixin(BaseModel):
+    """Cascade-capable nodes: carry the knobs, and self-store thresholds
+    learned during a pre-warm run (context flag ``update_cascade_args``)."""
+
+    model_config = ConfigDict(arbitrary_types_allowed=True)
+
+    cascade_args: CascadeArgs | None = None
+    return_stats: bool = False
 
     def _run_with_cascade_learning(
         self,
@@ -318,7 +341,7 @@ class _CascadeSelfUpdateMixin(BaseModel):
 
 
 # ---------------------------------------------------------------- LLM op nodes
-class SemFilterNode(_CascadeSelfUpdateMixin, AccessorNode):
+class SemFilterNode(_CascadeSelfUpdateMixin, _OutputColumnOpts, _ShotAndStrategyOpts, AccessorNode):
     """Filter rows on a natural-language predicate."""
 
     _accessor = "sem_filter"
@@ -331,20 +354,13 @@ class SemFilterNode(_CascadeSelfUpdateMixin, AccessorNode):
     system_prompt: str | None = Field(
         default=None, description="System prompt applied to each of this filter's LLM calls (optional)."
     )
-    return_raw_outputs: bool = False
-    return_explanations: bool = False
-    return_all: bool = False
-    default: bool = True
-    suffix: str = "_filter"
-    examples: pd.DataFrame | None = None
-    helper_examples: pd.DataFrame | None = None
-    strategy: ReasoningStrategy | None = None
-    cascade_args: CascadeArgs | None = None
-    return_stats: bool = False
-    safe_mode: bool = False
     progress_bar_desc: str = "Filtering"
-    additional_cot_instructions: str = ""
+    suffix: str = "_filter"
     output_tokens: tuple[str, str] = ("True", "False")
+    default: bool = True
+    return_all: bool = False
+    helper_examples: pd.DataFrame | None = None
+    additional_cot_instructions: str = ""
 
     def supports_optimizable_param(self, param_name: str) -> bool:
         if param_name == self._HELPER_PARAM:
@@ -384,7 +400,7 @@ class SemFilterNode(_CascadeSelfUpdateMixin, AccessorNode):
         return self._run_with_cascade_learning(run, "filter_pos_cascade_threshold", context, self.return_stats)
 
 
-class SemMapNode(AccessorNode):
+class SemMapNode(_OutputColumnOpts, _ShotAndStrategyOpts, AccessorNode):
     """Transform each row with a natural-language instruction."""
 
     _accessor = "sem_map"
@@ -396,18 +412,13 @@ class SemMapNode(AccessorNode):
     system_prompt: str | None = Field(
         default=None, description="System prompt applied to each of this map's LLM calls (optional)."
     )
-    postprocessor: Callable | None = None
-    return_explanations: bool = False
-    return_raw_outputs: bool = False
-    suffix: str = "_map"
-    examples: pd.DataFrame | None = None
-    strategy: ReasoningStrategy | None = None
-    safe_mode: bool = False
     progress_bar_desc: str = "Mapping"
+    suffix: str = "_map"
+    postprocessor: Callable | None = None
     model_kwargs: dict[str, Any] | None = None
 
 
-class SemExtractNode(AccessorNode):
+class SemExtractNode(_OutputColumnOpts, AccessorNode):
     """Extract structured fields into new columns."""
 
     _accessor = "sem_extract"
@@ -417,13 +428,11 @@ class SemExtractNode(AccessorNode):
     output_cols: dict[str, str | None] = Field(
         description="Output column name -> what to pull out of each row, described in natural language."
     )
+    progress_bar_desc: str = "Extracting"
     extract_quotes: bool = False
     postprocessor: Callable | None = None
-    return_raw_outputs: bool = False
-    safe_mode: bool = False
-    progress_bar_desc: str = "Extracting"
-    return_explanations: bool = False
     strategy: ReasoningStrategy | None = None
+    safe_mode: bool = False
 
 
 class SemAggNode(AccessorNode):
@@ -435,11 +444,11 @@ class SemAggNode(AccessorNode):
     user_instruction: str = Field(
         description="How to fold all rows into one answer, in natural language; wrap column names in braces."
     )
-    all_cols: bool = False
+    progress_bar_desc: str = "Aggregating"
     suffix: str = "_output"
     group_by: list[str] | None = None
+    all_cols: bool = False
     safe_mode: bool = False
-    progress_bar_desc: str = "Aggregating"
     long_context_strategy: LongContextStrategy | None = LongContextStrategy.CHUNK
     response_format: Any = None
     split_fields_into_cols: bool = True
@@ -457,11 +466,11 @@ class SemTopKNode(AccessorNode):
     )
     K: int
     method: str = "quick"
-    strategy: ReasoningStrategy | None = None
     group_by: list[str] | None = None
+    strategy: ReasoningStrategy | None = None
     cascade_threshold: float | None = None
-    return_stats: bool = False
     safe_mode: bool = False
+    return_stats: bool = False
     return_explanations: bool = False
 
 
@@ -491,7 +500,7 @@ class _JoinMixin(BaseModel):
         return [("right LazyFrame", self.right_lf)] if isinstance(self.right_lf, LazyFrame) else []
 
 
-class SemJoinNode(_CascadeSelfUpdateMixin, _JoinMixin, AccessorNode):
+class SemJoinNode(_CascadeSelfUpdateMixin, _ShotAndStrategyOpts, _JoinMixin, AccessorNode):
     """Join two DataFrames on a natural-language predicate."""
 
     _accessor = "sem_join"
@@ -501,16 +510,11 @@ class SemJoinNode(_CascadeSelfUpdateMixin, _JoinMixin, AccessorNode):
     join_instruction: str = Field(
         description="Predicate relating a left row to a right row; wrap columns in braces, tagging {col:left}/{col:right} when ambiguous."
     )
-    return_explanations: bool = False
-    how: str = "inner"
-    suffix: str = "_join"
-    examples: pd.DataFrame | None = None
-    strategy: ReasoningStrategy | None = None
-    default: bool = True
-    cascade_args: CascadeArgs | None = None
-    return_stats: bool = False
-    safe_mode: bool = False
     progress_bar_desc: str = "Join comparisons"
+    suffix: str = "_join"
+    how: str = "inner"
+    default: bool = True
+    return_explanations: bool = False
 
     def __call__(self, df: pd.DataFrame, resolver: Resolver = _no_resolver, **context: Any) -> Any:
         right = self._resolve_right(resolver)
@@ -535,10 +539,10 @@ class SemSimJoinNode(_JoinMixin, AccessorNode):
     left_on: str
     right_on: str
     K: int
+    keep_index: bool = False
     lsuffix: str = ""
     rsuffix: str = ""
     score_suffix: str = ""
-    keep_index: bool = False
 
     def __call__(self, df: pd.DataFrame, resolver: Resolver = _no_resolver, **context: Any) -> Any:
         _, kwargs = self._call_kwargs()
@@ -557,9 +561,9 @@ class SemSearchNode(AccessorNode):
     col_name: str
     query: str = Field(description="Free-text query scored against the indexed column.")
     K: int | None = None
+    suffix: str = "_sim_score"
     n_rerank: int | None = None
     return_scores: bool = False
-    suffix: str = "_sim_score"
 
 
 class SemIndexNode(AccessorNode):
@@ -584,10 +588,10 @@ class SemClusterByNode(AccessorNode):
 
     col_name: str
     ncentroids: int
-    return_scores: bool = False
-    return_centroids: bool = False
     niter: int = 20
     verbose: bool = False
+    return_scores: bool = False
+    return_centroids: bool = False
 
 
 class SemDedupNode(AccessorNode):
@@ -626,9 +630,9 @@ class PandasOpNode(BaseNode):
     or assignment; LazyFrame-valued args are resolved at call time."""
 
     op_name: str
+    is_attr: bool = False
     args: tuple[Any, ...] = ()
     kwargs: dict[str, Any] | None = None
-    is_attr: bool = False
     lf_args: dict[str, Any] | None = None
     lf_kwargs: dict[str, Any] | None = None
 
@@ -676,7 +680,7 @@ class PandasOpNode(BaseNode):
 
 
 # ------------------------------------------------------------------ eval nodes
-class LLMAsJudgeNode(AccessorNode):
+class LLMAsJudgeNode(_OutputColumnOpts, _ShotAndStrategyOpts, AccessorNode):
     """Multi-trial LLM judging (sem_map-based)."""
 
     _accessor = "llm_as_judge"
@@ -686,23 +690,18 @@ class LLMAsJudgeNode(AccessorNode):
     judge_instruction: str = Field(
         description="What the judge should assess, in natural language; wrap column names in braces."
     )
-    response_format: Any = None
     n_trials: int = 1
+    progress_bar_desc: str = "Evaluating"
+    suffix: str = "_judge"
+    response_format: Any = None
     system_prompt: str | None = None
     postprocessor: Callable | None = None
-    return_raw_outputs: bool = False
-    return_explanations: bool = False
-    suffix: str = "_judge"
-    examples: pd.DataFrame | None = None
     cot_reasoning: list[str] | None = None
-    strategy: ReasoningStrategy | None = None
     extra_cols_to_include: list[str] | None = None
-    safe_mode: bool = False
-    progress_bar_desc: str = "Evaluating"
     model_kwargs: dict[str, Any] | None = None
 
 
-class PairwiseJudgeNode(_CascadeSelfUpdateMixin, AccessorNode):
+class PairwiseJudgeNode(_CascadeSelfUpdateMixin, _OutputColumnOpts, _ShotAndStrategyOpts, AccessorNode):
     """A-vs-B comparison judging (sem_filter-based)."""
 
     _accessor = "pairwise_judge"
@@ -716,18 +715,11 @@ class PairwiseJudgeNode(_CascadeSelfUpdateMixin, AccessorNode):
     )
     n_trials: int = 1
     permute_cols: bool = False
-    system_prompt: str | None = None
-    return_raw_outputs: bool = False
-    return_explanations: bool = False
     default_to_col1: bool = True
-    suffix: str = "_judge"
-    examples: pd.DataFrame | None = None
-    helper_examples: pd.DataFrame | None = None
-    strategy: ReasoningStrategy | None = None
-    cascade_args: CascadeArgs | None = None
-    return_stats: bool = False
-    safe_mode: bool = False
     progress_bar_desc: str = "Evaluating"
+    suffix: str = "_judge"
+    system_prompt: str | None = None
+    helper_examples: pd.DataFrame | None = None
     additional_cot_instructions: str = ""
     model_kwargs: dict[str, Any] | None = None
 

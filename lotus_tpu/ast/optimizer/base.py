@@ -2,25 +2,28 @@
 
 from __future__ import annotations
 
-from abc import ABC, abstractmethod
-from typing import TYPE_CHECKING
+import abc
+import typing
 
-import pandas as pd
+if typing.TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
 
-if TYPE_CHECKING:  # pragma: no cover
     from lotus_tpu.ast.lazyframe import LazyFrame
     from lotus_tpu.ast.nodes import BaseNode
 
+    # Either one training frame, or a mapping of source-LazyFrame -> frame.
+    TrainData = dict["LazyFrame", "pd.DataFrame"] | pd.DataFrame | None
+    NodeList = list[BaseNode]
+else:
+    TrainData = object
+    NodeList = list
 
-class BaseOptimizer(ABC):
+
+class BaseOptimizer(abc.ABC):
     """Transforms a node list to improve cost or quality."""
 
     requires_train_data: bool = False
 
-    @abstractmethod
-    def optimize(
-        self,
-        nodes: "list[BaseNode]",
-        train_data: "dict[LazyFrame, pd.DataFrame] | pd.DataFrame | None" = None,
-    ) -> "list[BaseNode]":
+    @abc.abstractmethod
+    def optimize(self, nodes: NodeList, train_data: TrainData = None) -> NodeList:
         """Return an optimized node list (may be unchanged)."""

@@ -7,26 +7,14 @@ skip the learning sample.
 
 from __future__ import annotations
 
-from typing import TYPE_CHECKING
-
-import pandas as pd
-
 import lotus_tpu
-from lotus_tpu.ast.nodes import BaseNode
-from lotus_tpu.ast.optimizer.base import BaseOptimizer
-
-if TYPE_CHECKING:  # pragma: no cover
-    from lotus_tpu.ast.lazyframe import LazyFrame
+from lotus_tpu.ast.optimizer.base import BaseOptimizer, NodeList, TrainData
 
 
 class CascadeOptimizer(BaseOptimizer):
     requires_train_data: bool = True
 
-    def optimize(
-        self,
-        nodes: "list[BaseNode]",
-        train_data: "dict[LazyFrame, pd.DataFrame] | pd.DataFrame | None" = None,
-    ) -> "list[BaseNode]":
+    def optimize(self, nodes: NodeList, train_data: TrainData = None) -> NodeList:
         from lotus_tpu.ast.lazyframe import LazyFrame
         from lotus_tpu.ast.run import LazyFrameRun
 

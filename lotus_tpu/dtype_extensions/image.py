@@ -26,55 +26,55 @@ class ImageDtype(ExtensionDtype):
         return ImageArray
 
 
+_IMAGE_DTYPE = ImageDtype()
+
+
 class ImageArray(ExtensionArray):
     """Stores image references; loads pixels lazily with an index cache."""
 
     def __init__(self, values: Any):
-        self._data = np.asarray(values, dtype=object)
-        self._dtype = ImageDtype()
-        self._cache: dict[int, Any] = {}
+        self._refs = np.asarray(values, dtype=object)
+        self._pixels: dict[tuple[int, str], Any] = {}
 
     # ------------------------------------------------------------- indexing
     def __getitem__(self, item):
-        result = self._data[item]
-        if isinstance(item, (int, np.integer)):
-            return result
-        return ImageArray(result)
+        picked = self._refs[item]
+        return picked if isinstance(item, (int, np.integer)) else ImageArray(picked)
 
     def __setitem__(self, key, value) -> None:
         if isinstance(key, (int, np.integer)):
-            self._data[key] = value
+            self._refs[key] = value
             # Cache keys are (idx, image_type) tuples — drop every rendering
             # of this index.
-            self._cache = {k: v for k, v in self._cache.items() if k[0] != int(key)}
+            self._pixels = {k: v for k, v in self._pixels.items() if k[0] != int(key)}
         else:
-            self._data[key] = value
-            self._cache.clear()
+            self._refs[key] = value
+            self._pixels.clear()
 
     # --------------------------------------------------------------- images
     def get_image(self, idx: int, image_type: str = "Image"):
         """Fetch (and cache) the image at position idx."""
         key = (int(idx), image_type)
-        if key not in self._cache:
-            self._cache[key] = fetch_image(self._data[idx], image_type)
-        return self._cache[key]
+        if key not in self._pixels:
+            self._pixels[key] = fetch_image(self._refs[idx], image_type)
+        return self._pixels[key]
 
     # ------------------------------------------------------------ protocol
     def isna(self) -> np.ndarray:
-        return np.array([v is None for v in self._data], dtype=bool)
+        return np.array([v is None for v in self._refs], dtype=bool)
 
     def take(self, indices, allow_fill: bool = False, fill_value=None) -> "ImageArray":
         from pandas.core.algorithms import take
 
-        result = take(self._data, indices, allow_fill=allow_fill, fill_value=fill_value)
+        result = take(self._refs, indices, allow_fill=allow_fill, fill_value=fill_value)
         return ImageArray(result)
 
     def copy(self) -> "ImageArray":
-        return ImageArray(self._data.copy())
+        return ImageArray(self._refs.copy())
 
     @classmethod
     def _concat_same_type(cls, to_concat: Sequence["ImageArray"]) -> "ImageArray":
-        return cls(np.concatenate([arr._data for arr in to_concat]))
+        return cls(np.concatenate([arr._refs for arr in to_concat]))
 
     @classmethod
     def _from_sequence(cls, scalars, dtype=None, copy: bool = False):
@@ -82,7 +82,7 @@ class ImageArray(ExtensionArray):
         return cls(data.copy() if copy else data)
 
     def __len__(self) -> int:
-        return len(self._data)
+        return len(self._refs)
 
     def __eq__(self, other) -> np.ndarray:  # type: ignore[override]
         if isinstance(other, ImageArray):
@@ -101,26 +101,26 @@ class ImageArray(ExtensionArray):
 
     @property
     def dtype(self) -> ImageDtype:
-        return self._dtype
+        return _IMAGE_DTYPE
 
     @property
     def nbytes(self) -> int:
-        return self._data.nbytes
+        return self._refs.nbytes
 
     def __repr__(self) -> str:
-        return f"ImageArray({self._data!r})"
+        return f"ImageArray({self._refs!r})"
 
     def _formatter(self, boxed: bool = False):
         return lambda x: f"<image: {x!r}>" if x is not None else "None"
 
     def to_numpy(self, dtype=None, copy: bool = False, na_value=None) -> np.ndarray:
-        out = self._data
+        out = self._refs
         if copy:
             out = out.copy()
         return out
 
     def __array__(self, dtype=None, copy=None) -> np.ndarray:
-        return np.asarray(self._data, dtype=object)
+        return np.asarray(self._refs, dtype=object)
 
 
 def _compare_images(img1: Any, img2: Any) -> bool:

@@ -67,10 +67,10 @@ def _read_jsonl(path: str, encoding: str) -> list[tuple[str, dict]]:
 
 
 def _read_html(path: str, encoding: str) -> list[tuple[str, dict]]:
-    from lotus_tpu.web_search import _extract_text_from_html
+    from lotus_tpu.web_search import html_to_text
 
     with open(path, encoding=encoding, errors="replace") as f:
-        return [(_extract_text_from_html(f.read()), {})]
+        return [(html_to_text(f.read()), {})]
 
 
 def _read_pdf(path: str, encoding: str) -> list[tuple[str, dict]]:

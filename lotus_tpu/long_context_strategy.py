@@ -9,148 +9,138 @@ partial documents.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from typing import TYPE_CHECKING, Any
+import typing
+from typing import Any, Iterator, NamedTuple
 
 import pandas as pd
 
 from lotus_tpu.templates import task_instructions
 from lotus_tpu.types import LongContextStrategy
 
-if TYPE_CHECKING:  # pragma: no cover
+if typing.TYPE_CHECKING:  # pragma: no cover
     from lotus_tpu.models import LM
 
 
-@dataclass
-class ChunkInfo:
-    """Provenance of one chunk back to its source row."""
+class ChunkInfo(NamedTuple):
+    """Provenance of one chunk back to its source row.
+
+    ``chunked_column`` is None unless the CHUNK strategy split that column.
+    """
 
     original_row_idx: int
     chunk_idx: int
     total_chunks: int
-    chunked_column: str | None = None  # set only by the CHUNK strategy
+    chunked_column: str | None = None
 
 
-@dataclass
 class ChunkedDocument:
-    """Chunked documents plus restoration info (replaces a plain list[str])."""
+    """Serialized docs + per-doc provenance, replacing a plain list[str]."""
 
-    strategy: LongContextStrategy
-    docs: list[str]
-    chunk_info: list[ChunkInfo]
-    original_df: pd.DataFrame
+    __slots__ = ("strategy", "docs", "chunk_info", "original_df")
+
+    def __init__(
+        self, strategy: LongContextStrategy, docs: list[str], chunk_info: list[ChunkInfo], original_df: pd.DataFrame
+    ) -> None:
+        self.strategy = strategy
+        self.docs = docs
+        self.chunk_info = chunk_info
+        self.original_df = original_df
 
     def __len__(self) -> int:
         return len(self.docs)
 
     def get_row(self, index: int) -> pd.Series:
-        info = self.chunk_info[index]
-        row = self.original_df.iloc[info.original_row_idx]
-        if info.chunked_column is not None:
-            row = row.copy()
-            row[info.chunked_column] = self.docs[index]
-        return row
+        src = self.chunk_info[index]
+        row = self.original_df.iloc[src.original_row_idx]
+        if src.chunked_column is None:
+            return row
+        patched = row.copy()
+        patched[src.chunked_column] = self.docs[index]
+        return patched
 
     def get_value(self, index: int, column: str) -> Any:
         return self.get_row(index)[column]
 
 
+def _token_budget(model: "LM", extra_tokens: int) -> int:
+    room = model.max_ctx_len - model.max_tokens - extra_tokens
+    if room <= 0:
+        raise ValueError("Max document tokens is less than or equal to 0")
+    return room
+
+
+def _serialize_one(row: pd.Series, cols: list[str]) -> str:
+    return task_instructions.df2text(pd.DataFrame([row]), cols)[0]
+
+
+def _clip_to_tokens(doc: str, budget: int, model: "LM") -> str:
+    """Token-exact truncation with a trailing ellipsis when anything was cut."""
+    tail = "..."
+    keep = budget - model.count_tokens(tail)
+    if keep <= 0:
+        tail, keep = "", budget
+    return model.decode_tokens(model.encode_text(doc)[:keep]) + tail
+
+
+def _explode_row(
+    row: pd.Series, row_pos: int, cols: list[str], budget: int, model: "LM"
+) -> Iterator[tuple[str, ChunkInfo]]:
+    """Split one oversized row into chunk documents (CHUNK strategy)."""
+    # The column carrying the most tokens is the one that gets split.
+    counts = {c: model.count_tokens(str(row[c])) for c in cols if c in row.index}
+    if not counts:
+        raise ValueError("No valid columns found for long_context")
+    fat_col = max(counts, key=counts.get)  # type: ignore[arg-type]
+
+    hollow = row.copy()
+    hollow[fat_col] = ""
+    room = budget - model.count_tokens(_serialize_one(hollow, cols))
+    if room <= 0:
+        raise ValueError(
+            f"Cannot fit document even after emptying column {fat_col!r} at row position "
+            f"{row_pos}: the remaining structure exceeds the context window "
+            f"(available={room}, budget={budget})."
+        )
+
+    pieces = split_text_by_tokens(str(row[fat_col]), room, model)
+    for j, piece in enumerate(pieces):
+        part = row.copy()
+        part[fat_col] = piece
+        yield _serialize_one(part, cols), ChunkInfo(row_pos, j, len(pieces), fat_col)
+
+
 def create_chunked_documents(
-    df: pd.DataFrame,
-    cols: list[str],
-    model: "LM",
-    strategy: LongContextStrategy,
-    extra_tokens: int,
+    df: pd.DataFrame, cols: list[str], model: "LM", strategy: LongContextStrategy, extra_tokens: int
 ) -> ChunkedDocument:
     """Fit each row's serialized document to the model's context budget."""
-    if strategy == LongContextStrategy.TRUNCATE:
-        return _truncate(df, cols, model, extra_tokens)
-    if strategy == LongContextStrategy.CHUNK:
-        return _chunk(df, cols, model, extra_tokens)
-    raise ValueError(f"Unknown long_context strategy: {strategy}")
+    if strategy not in (LongContextStrategy.TRUNCATE, LongContextStrategy.CHUNK):
+        raise ValueError(f"Unknown long_context strategy: {strategy}")
+    budget = _token_budget(model, extra_tokens)
 
-
-def _budget(model: "LM", extra_tokens: int) -> int:
-    max_doc_tokens = model.max_ctx_len - model.max_tokens - extra_tokens
-    if max_doc_tokens <= 0:
-        raise ValueError("Max document tokens is less than or equal to 0")
-    return max_doc_tokens
-
-
-def _truncate(df: pd.DataFrame, cols: list[str], model: "LM", extra_tokens: int) -> ChunkedDocument:
-    max_doc_tokens = _budget(model, extra_tokens)
-    docs, info = [], []
-    for i, doc in enumerate(task_instructions.df2text(df, cols)):
-        if model.count_tokens(doc) <= max_doc_tokens:
+    docs: list[str] = []
+    info: list[ChunkInfo] = []
+    whole_docs = task_instructions.df2text(df, cols)
+    for pos, doc in enumerate(whole_docs):
+        if model.count_tokens(doc) <= budget:
             docs.append(doc)
+            info.append(ChunkInfo(pos, 0, 1))
+        elif strategy == LongContextStrategy.TRUNCATE:
+            docs.append(_clip_to_tokens(doc, budget, model))
+            info.append(ChunkInfo(pos, 0, 1))
         else:
-            ellipsis = "..."
-            available = max_doc_tokens - model.count_tokens(ellipsis)
-            if available <= 0:
-                ellipsis, available = "", max_doc_tokens
-            tokens = model.encode_text(doc)
-            docs.append(model.decode_tokens(tokens[:available]) + ellipsis)
-        info.append(ChunkInfo(original_row_idx=i, chunk_idx=0, total_chunks=1))
-    return ChunkedDocument(
-        strategy=LongContextStrategy.TRUNCATE, docs=docs, chunk_info=info, original_df=df
-    )
+            for piece_doc, piece_info in _explode_row(df.iloc[pos], pos, cols, budget, model):
+                docs.append(piece_doc)
+                info.append(piece_info)
+    return ChunkedDocument(strategy, docs, info, df)
 
 
-def _chunk(df: pd.DataFrame, cols: list[str], model: "LM", extra_tokens: int) -> ChunkedDocument:
-    max_doc_tokens = _budget(model, extra_tokens)
-    docs, info = [], []
-    for i, (row_idx, row) in enumerate(df.iterrows()):
-        doc = task_instructions.df2text(df.iloc[[i]], cols)[0]
-        if model.count_tokens(doc) <= max_doc_tokens:
-            docs.append(doc)
-            info.append(ChunkInfo(original_row_idx=i, chunk_idx=0, total_chunks=1))
-            continue
-
-        # Find the column carrying the most tokens; it gets split.
-        big_col, big_count = None, 0
-        for col in cols:
-            if col in df.columns:
-                n = model.count_tokens(str(row[col]))
-                if n > big_count:
-                    big_col, big_count = col, n
-        if big_col is None:
-            raise ValueError("No valid columns found for long_context")
-
-        row_empty = row.copy()
-        row_empty[big_col] = ""
-        empty_doc = task_instructions.df2text(pd.DataFrame([row_empty]), cols)[0]
-        available = max_doc_tokens - model.count_tokens(empty_doc)
-        if available <= 0:
-            raise ValueError(
-                f"Cannot fit document even after emptying column {big_col!r} for row "
-                f"{row_idx}: the remaining structure exceeds the context window "
-                f"(available={available}, budget={max_doc_tokens})."
-            )
-
-        chunks = _split_text_by_tokens(str(row[big_col]), available, model)
-        for chunk_idx, chunk in enumerate(chunks):
-            row_chunk = row.copy()
-            row_chunk[big_col] = chunk
-            docs.append(task_instructions.df2text(pd.DataFrame([row_chunk]), cols)[0])
-            info.append(
-                ChunkInfo(
-                    original_row_idx=i,
-                    chunk_idx=chunk_idx,
-                    total_chunks=len(chunks),
-                    chunked_column=big_col,
-                )
-            )
-    return ChunkedDocument(
-        strategy=LongContextStrategy.CHUNK, docs=docs, chunk_info=info, original_df=df
-    )
-
-
-def _split_text_by_tokens(text: str, max_tokens: int, model: "LM") -> list[str]:
+def split_text_by_tokens(text: str, max_tokens: int, model: "LM") -> list[str]:
     """Token-exact splitting into <= max_tokens chunks."""
-    tokens = model.encode_text(text)
-    if len(tokens) <= max_tokens:
+    ids = model.encode_text(text)
+    if len(ids) <= max_tokens:
         return [text]
-    return [
-        model.decode_tokens(tokens[i : i + max_tokens])
-        for i in range(0, len(tokens), max_tokens)
-    ]
+    return [model.decode_tokens(ids[lo : lo + max_tokens]) for lo in range(0, len(ids), max_tokens)]
+
+
+# Back-compat alias for callers using the reference-style private name.
+_split_text_by_tokens = split_text_by_tokens

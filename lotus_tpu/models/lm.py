@@ -75,28 +75,27 @@ class LM:
         virtual_usage_limit: UsageLimit = UsageLimit(),
         **kwargs: Any,
     ) -> None:
-        self.model = model
-        self.max_ctx_len = max_ctx_len
-        if max_tokens is None:
-            max_tokens = DEFAULT_REASONING_MAX_TOKENS if self.is_reasoning_model() else DEFAULT_MAX_TOKENS
-        self.max_tokens = max_tokens
-        self.rate_limit = rate_limit
-        self.tpm_limit = tpm_limit
+        # Identity & budgets.  Reasoning models spend hidden thinking tokens
+        # from the completion budget, hence the larger default.
+        self.model, self.max_ctx_len = model, max_ctx_len
+        self.max_tokens = max_tokens if max_tokens is not None else (
+            DEFAULT_REASONING_MAX_TOKENS if self.is_reasoning_model() else DEFAULT_MAX_TOKENS
+        )
+
+        # Throttling. An RPM cap also bounds the burst size.
+        self.rate_limit, self.tpm_limit = rate_limit, tpm_limit
+        self.max_batch_size = max_batch_size if rate_limit is None else min(rate_limit, max_batch_size)
         self._token_usage_history: deque[tuple[float, int]] = deque()
 
-        if rate_limit is not None:
-            self.max_batch_size = min(rate_limit, max_batch_size)
-        else:
-            self.max_batch_size = max_batch_size
-
-        self.tokenizer: TokenizerLike = wrap_tokenizer(tokenizer) if tokenizer is not None else ApproxTokenizer()
-        self.kwargs: dict[str, Any] = dict(temperature=temperature, max_completion_tokens=max_tokens, **kwargs)
+        # Pluggable seams: tokenizer, provider transport, message cache.
+        self.tokenizer: TokenizerLike = ApproxTokenizer() if tokenizer is None else wrap_tokenizer(tokenizer)
         self.transport: Transport = transport if transport is not None else LiteLLMTransport()
-
-        self.stats = LMStats()
-        self.physical_usage_limit = physical_usage_limit
-        self.virtual_usage_limit = virtual_usage_limit
         self.cache = cache if cache is not None else CacheFactory.create_default_cache()
+
+        # Accounting.
+        self.stats = LMStats()
+        self.physical_usage_limit, self.virtual_usage_limit = physical_usage_limit, virtual_usage_limit
+        self.kwargs: dict[str, Any] = dict(temperature=temperature, max_completion_tokens=self.max_tokens, **kwargs)
 
     # ------------------------------------------------------------------ call
     def __call__(
@@ -293,13 +292,16 @@ class LM:
             )
         return comp.text
 
+    _LIMIT_FIELDS = (
+        ("prompt_tokens", "prompt_tokens_limit"),
+        ("completion_tokens", "completion_tokens_limit"),
+        ("total_tokens", "total_tokens_limit"),
+        ("total_cost", "total_cost_limit"),
+    )
+
     def _check_limit(self, usage: LMStats.TotalUsage, limit: UsageLimit, kind: str) -> None:
-        if (
-            usage.prompt_tokens > limit.prompt_tokens_limit
-            or usage.completion_tokens > limit.completion_tokens_limit
-            or usage.total_tokens > limit.total_tokens_limit
-            or usage.total_cost > limit.total_cost_limit
-        ):
+        over = any(getattr(usage, u) > getattr(limit, cap) for u, cap in self._LIMIT_FIELDS)
+        if over:
             raise LotusUsageLimitException(
                 f"Usage limit exceeded. Current {kind} usage: {usage}, Limit: {limit}"
             )
@@ -384,14 +386,21 @@ class LM:
 
     # ----------------------------------------------------------------- stats
     def print_total_usage(self) -> None:
-        print("\n=== Usage Statistics ===")
-        print("Virtual  = Total usage if no caching was used")
-        print("Physical = Actual usage with caching applied\n")
-        print(f"Virtual Cost:     ${self.stats.virtual_usage.total_cost:,.6f}")
-        print(f"Physical Cost:    ${self.stats.physical_usage.total_cost:,.6f}")
-        print(f"Virtual Tokens:   {self.stats.virtual_usage.total_tokens:,}")
-        print(f"Physical Tokens:  {self.stats.physical_usage.total_tokens:,}")
-        print(f"Cache Hits:       {self.stats.cache_hits:,}\n")
+        v, p = self.stats.virtual_usage, self.stats.physical_usage
+        lines = [
+            "",
+            "=== Usage Statistics ===",
+            "Virtual  = Total usage if no caching was used",
+            "Physical = Actual usage with caching applied",
+            "",
+            f"Virtual Cost:     ${v.total_cost:,.6f}",
+            f"Physical Cost:    ${p.total_cost:,.6f}",
+            f"Virtual Tokens:   {v.total_tokens:,}",
+            f"Physical Tokens:  {p.total_tokens:,}",
+            f"Cache Hits:       {self.stats.cache_hits:,}",
+            "",
+        ]
+        print("\n".join(lines))
 
     def reset_stats(self) -> None:
         self.stats = LMStats()

@@ -6,37 +6,41 @@ Contract matches the reference RM (``lotus/models/rm.py:10-85``):
 
 from __future__ import annotations
 
-from abc import ABC, abstractmethod
-from typing import Any, Union
+import abc
+from typing import Any
 
 import numpy as np
 import pandas as pd
-from numpy.typing import NDArray
 
 
-class RM(ABC):
-    """Abstract base class for retrieval (embedding) models."""
+def as_query_matrix(rm: "RM", queries: Any) -> np.ndarray:
+    """Coerce whatever the caller passed into an (nq, d) vector matrix.
 
-    @abstractmethod
-    def _embed(self, docs: list[str]) -> NDArray[np.float64]:
-        """Embed a list of documents -> (num_docs, dim) array."""
+    Accepted forms, in the order they are recognised: a pre-computed ndarray
+    (returned untouched), a pandas Series (embedded row-wise), a bare
+    str/Image/scalar (wrapped as a one-element batch), or a list of texts.
+    """
+    if isinstance(queries, np.ndarray):
+        return queries
+    if isinstance(queries, pd.Series):
+        batch = queries.tolist()
+    elif isinstance(queries, list):
+        batch = queries
+    else:
+        batch = [queries]
+    return rm._embed(batch)
 
-    def __call__(self, docs: list[str]) -> NDArray[np.float64]:
+
+class RM(abc.ABC):
+    """Embedding-model base: subclasses supply ``_embed`` only."""
+
+    @abc.abstractmethod
+    def _embed(self, docs: list[str]) -> np.ndarray:
+        """Embed ``docs`` into an (num_docs, dim) float array."""
+
+    def __call__(self, docs: list[str]) -> np.ndarray:
         return self._embed(docs)
 
-    def convert_query_to_query_vector(
-        self,
-        queries: Union[pd.Series, str, Any, list[str], NDArray[np.float64]],
-    ) -> NDArray[np.float64]:
-        """Coerce str / Image / Series / list / ndarray queries to vectors.
-
-        ndarray inputs are assumed to be pre-computed query vectors and are
-        returned as-is.
-        """
-        if isinstance(queries, np.ndarray):
-            return queries
-        if isinstance(queries, pd.Series):
-            queries = queries.tolist()
-        elif not isinstance(queries, list):
-            queries = [queries]
-        return self._embed(queries)
+    # Reference-compatible name; the logic lives in as_query_matrix above.
+    def convert_query_to_query_vector(self, queries: Any) -> np.ndarray:
+        return as_query_matrix(self, queries)

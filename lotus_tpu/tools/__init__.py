@@ -1,13 +1,6 @@
+"""Agent tools: schema-carrying callables plus a sandboxed Python REPL."""
+
 from lotus_tpu.tools.base import FunctionTool, Tool, signature_model, tool
 from lotus_tpu.tools.repl import DockerSandbox, LocalSandbox, PythonREPLTool, Sandbox
 
-__all__ = [
-    "Tool",
-    "tool",
-    "FunctionTool",
-    "signature_model",
-    "PythonREPLTool",
-    "LocalSandbox",
-    "DockerSandbox",
-    "Sandbox",
-]
+__all__ = [n for n in dir() if not n.startswith("_")]

@@ -252,32 +252,40 @@ def _paired_thresholds(pos: float | None, neg: float | None, label: str) -> None
 
 
 class CascadeArgs(BaseModel):
-    """Every knob a model cascade reads (filter and join variants)."""
+    """Every knob a model cascade reads (filter and join variants).
 
+    Keyword-constructed; grouped below by which stage consumes them.
+    """
+
+    model_config = ConfigDict(arbitrary_types_allowed=True)
+
+    # Accuracy guarantees the learned thresholds must satisfy.
     recall_target: float = 0.8
     precision_target: float = 0.8
-    sampling_percentage: float = 0.1
     failure_probability: float = 0.2
+
+    # Threshold-learning sample.
+    sampling_percentage: float = 0.1
+    cascade_IS_weight: float = 0.9
+    cascade_IS_max_sample_range: int = 200
+    cascade_IS_random_seed: int | None = None
+    cascade_num_calibration_quantiles: int = 50
+
+    # Proxy scorer selection + its optional prompt overrides.
+    proxy_model: ProxyModel = ProxyModel.HELPER_LM
+    helper_filter_instruction: str | None = None
     map_instruction: str | None = None
     map_examples: pd.DataFrame | None = None
-    proxy_model: ProxyModel = ProxyModel.HELPER_LM
 
-    # Filter cascade args
-    helper_filter_instruction: str | None = None
-    cascade_IS_weight: float = 0.9
-    cascade_num_calibration_quantiles: int = 50
+    # Pre-learned filter thresholds (both or neither).
     filter_pos_cascade_threshold: float | None = None
     filter_neg_cascade_threshold: float | None = None
 
-    # Join cascade args
-    min_join_cascade_size: int = 100
-    cascade_IS_max_sample_range: int = 200
-    cascade_IS_random_seed: int | None = None
+    # Join-specific: plan pinning, size gate, pre-learned thresholds.
     join_cascade_strategy: Literal["search_filter", "map_search_filter"] | None = None
+    min_join_cascade_size: int = 100
     join_cascade_pos_threshold: float | None = None
     join_cascade_neg_threshold: float | None = None
-
-    model_config = ConfigDict(arbitrary_types_allowed=True)
 
     @model_validator(mode="after")
     def _validate_thresholds(self) -> "CascadeArgs":

@@ -11,7 +11,6 @@ from __future__ import annotations
 from typing import Any
 
 import numpy as np
-from numpy.typing import NDArray
 
 from lotus_tpu.types import RMOutput
 from lotus_tpu.vector_store.vs import VS
@@ -28,7 +27,7 @@ class QdrantVS(VS):
         self.max_batch_size = max_batch_size
         self.embedding_dim: int | None = None
 
-    def index(self, docs: list[str], embeddings: NDArray[np.float64], index_dir: str, **kwargs: Any) -> None:
+    def index(self, docs: list[str], embeddings: np.ndarray, index_dir: str, **kwargs: Any) -> None:
         from qdrant_client import models
 
         self.index_dir = index_dir
@@ -43,68 +42,53 @@ class QdrantVS(VS):
             collection_name=index_dir,
             vectors_config=models.VectorParams(size=self.embedding_dim, distance=models.Distance.COSINE),
         )
-        points = [
-            models.PointStruct(
-                id=idx,
-                vector=vec.tolist(),
-                payload={"content": str(doc), "doc_id": idx},
-            )
-            for idx, (doc, vec) in enumerate(zip(docs, emb))
-        ]
-        for i in range(0, len(points), self.max_batch_size):
-            self.client.upsert(collection_name=index_dir, points=points[i : i + self.max_batch_size], wait=True)
+
+        def point(pos: int) -> Any:
+            payload = {"content": str(docs[pos]), "doc_id": pos}
+            return models.PointStruct(id=pos, vector=emb[pos].tolist(), payload=payload)
+
+        for lo in range(0, len(docs), self.max_batch_size):
+            batch = [point(p) for p in range(lo, min(lo + self.max_batch_size, len(docs)))]
+            self.client.upsert(collection_name=index_dir, points=batch, wait=True)
 
     def load_index(self, index_dir: str) -> None:
-        names = [c.name for c in self.client.get_collections().collections]
-        if index_dir not in names:
+        known = {c.name for c in self.client.get_collections().collections}
+        if index_dir not in known:
             raise ValueError(f"Collection {index_dir} not found")
         self.index_dir = index_dir
         vectors = self.client.get_collection(collection_name=index_dir).config.params.vectors
-        self.embedding_dim = (
-            next(iter(vectors.values())).size if isinstance(vectors, dict) else vectors.size
-        )
+        if isinstance(vectors, dict):  # named-vector config: take the first
+            vectors = next(iter(vectors.values()))
+        self.embedding_dim = vectors.size
 
-    def __call__(
-        self, query_vectors: NDArray[np.float64], K: int, ids: list[int] | None = None, **kwargs: Any
-    ) -> RMOutput:
+    def __call__(self, query_vectors: np.ndarray, K: int, ids: list[int] | None = None, **kwargs: Any) -> RMOutput:
         from qdrant_client import models
 
         if self.index_dir is None:
             raise ValueError("No collection loaded. Call load_index first.")
 
-        id_filter = None
+        restrict = None
         if ids is not None:
-            id_filter = models.Filter(
-                must=[models.FieldCondition(key="doc_id", match=models.MatchAny(any=list(ids)))]
-            )
+            match = models.FieldCondition(key="doc_id", match=models.MatchAny(any=[int(i) for i in ids]))
+            restrict = models.Filter(must=[match])
 
-        all_distances: list[list[float]] = []
-        all_indices: list[list[int]] = []
+        dist_rows, idx_rows = [], []
         for qv in np.atleast_2d(np.asarray(query_vectors)):
-            result = self.client.query_points(
-                collection_name=self.index_dir,
-                query=qv.tolist(),
-                limit=K,
-                query_filter=id_filter,
-                with_payload=True,
-            )
-            distances = [p.score if p.score is not None else 0.0 for p in result.points]
-            indices = [p.payload.get("doc_id", -1) for p in result.points]
-            while len(indices) < K:  # pad missing hits
-                indices.append(-1)
-                distances.append(0.0)
-            all_distances.append(distances)
-            all_indices.append(indices)
-        return RMOutput(distances=all_distances, indices=all_indices)
+            found = self.client.query_points(
+                collection_name=self.index_dir, query=qv.tolist(), limit=K, query_filter=restrict, with_payload=True
+            ).points
+            short = K - len(found)
+            dist_rows.append([(p.score or 0.0) for p in found] + [0.0] * short)
+            idx_rows.append([p.payload.get("doc_id", -1) for p in found] + [-1] * short)
+        return RMOutput(distances=dist_rows, indices=idx_rows)
 
-    def get_vectors_from_index(self, index_dir: str, ids: list[int]) -> NDArray[np.float64]:
+    def get_vectors_from_index(self, index_dir: str, ids: list[int]) -> np.ndarray:
         if self.index_dir != index_dir:
             self.load_index(index_dir)
-        points = self.client.retrieve(collection_name=index_dir, ids=list(ids), with_vectors=True)
         assert self.embedding_dim is not None
+        rows = {int(pid): i for i, pid in enumerate(ids)}
         out = np.zeros((len(ids), self.embedding_dim), dtype=np.float64)
-        pos = {pid: i for i, pid in enumerate(ids)}
-        for p in points:
-            if p.id in pos:
-                out[pos[p.id]] = np.asarray(p.vector, dtype=np.float64)
+        for p in self.client.retrieve(collection_name=index_dir, ids=list(ids), with_vectors=True):
+            if p.id in rows:
+                out[rows[p.id]] = np.asarray(p.vector, dtype=np.float64)
         return out

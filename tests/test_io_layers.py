@@ -7,7 +7,7 @@ import pytest
 
 from lotus_tpu.file_extractors import DirectoryReader
 from lotus_tpu.file_extractors.directory_reader import get_extension
-from lotus_tpu.web_search import WebSearchCorpus, _extract_text_from_html
+from lotus_tpu.web_search import WebSearchCorpus, html_to_text
 
 
 def test_directory_reader_text_files(tmp_path):
@@ -55,7 +55,7 @@ def test_per_file_merge(tmp_path):
 
 def test_html_text_extraction():
     html = "<html><head><script>var x;</script></head><body><h1>Title</h1><p>Para text</p></body></html>"
-    text = _extract_text_from_html(html)
+    text = html_to_text(html)
     assert "Title" in text and "Para text" in text
     assert "var x" not in text
 

@@ -28,6 +28,46 @@ from lotus_tpu.ops.kmeans import kmeans_fit
 TRAIN_POINTS_PER_CENTROID = 256
 
 
+def plan_block_aligned_layout(assign: np.ndarray, nlist: int, block_align: int) -> dict[str, Any]:
+    """Plan the block-aligned CSR layout from a list assignment (host-side).
+
+    Every list starts at a multiple of ``block_align`` rows and occupies
+    whole blocks; tail rows of each list's last block are padding (row id
+    ``NO_HIT``).  Returns the geometry plus the scatter mapping:
+    ``order`` (rows in assignment-sorted order) and ``dest`` (the storage
+    position of each of those rows), so callers can place vector data with
+    ``storage[dest] = vectors[order]`` — on host or on device.
+    """
+    n = assign.shape[0]
+    order = np.argsort(assign, kind="stable")
+    list_size = np.bincount(assign, minlength=nlist).astype(np.int32)
+    max_list = int(list_size.max()) if nlist > 0 else 0
+
+    padded_size = np.maximum(((list_size + block_align - 1) // block_align) * block_align, block_align)
+    list_start = np.zeros(nlist, np.int32)
+    list_start[1:] = np.cumsum(padded_size)[:-1]
+    total = int(padded_size.sum())
+
+    csum = np.zeros(nlist + 1, np.int64)
+    csum[1:] = np.cumsum(list_size)
+    rank_in_list = np.arange(n, dtype=np.int64) - csum[assign[order]]
+    dest = list_start.astype(np.int64)[assign[order]] + rank_in_list
+
+    row_ids = np.full(total, NO_HIT, np.int32)
+    row_ids[dest] = order
+    window = max(block_align, int(((max_list + block_align - 1) // block_align) * block_align))
+    return {
+        "order": order,
+        "dest": dest,
+        "row_ids": row_ids,
+        "list_start": list_start,
+        "list_size": list_size,
+        "max_list": max_list,
+        "window": window,
+        "total": total,
+    }
+
+
 def build_ivf(
     index_dir: str,
     emb: np.ndarray,
@@ -81,32 +121,23 @@ def build_ivf(
         assign[s : s + chunk_rows] = np.asarray(a)
     del cent_dev
 
-    order = np.argsort(assign, kind="stable")
-    list_size = np.bincount(assign, minlength=nlist).astype(np.int32)
-    max_list = int(list_size.max()) if nlist > 0 else 0
-
     if block_align:
-        padded_size = ((list_size + block_align - 1) // block_align) * block_align
-        padded_size = np.maximum(padded_size, block_align)
-        list_start = np.zeros(nlist, np.int32)
-        list_start[1:] = np.cumsum(padded_size)[:-1]
-        total = int(padded_size.sum())
-        sorted_vecs = np.zeros((total, d), np.float32)
-        row_ids = np.full(total, NO_HIT, np.int32)
+        plan = plan_block_aligned_layout(assign, nlist, block_align)
+        list_start, list_size = plan["list_start"], plan["list_size"]
+        row_ids, window = plan["row_ids"], plan["window"]
+        order, dest = plan["order"], plan["dest"]
+        sorted_vecs = np.zeros((plan["total"], d), np.float32)
         # Vectorized scatter: row r (in assignment-sorted order) lands at its
-        # list's start plus its rank within the list.  One argsort + one
-        # fancy-indexed write; chunked so the 10M x 768 case streams instead
-        # of materializing a second full copy.
-        csum = np.zeros(nlist + 1, np.int64)
-        csum[1:] = np.cumsum(list_size)
-        rank_in_list = np.arange(n, dtype=np.int64) - csum[assign[order]]
-        dest = list_start.astype(np.int64)[assign[order]] + rank_in_list
-        row_ids[dest] = order
+        # list's start plus its rank within the list; chunked so the 10M x
+        # 768 case streams instead of materializing a second full copy.
         chunk = max(1, (1 << 28) // max(d * 4, 1))  # ~256 MB of rows per pass
         for s in range(0, n, chunk):
             sorted_vecs[dest[s : s + chunk]] = emb[order[s : s + chunk]]
-        window = max(block_align, int(((max_list + block_align - 1) // block_align) * block_align))
+        max_list = plan["max_list"]
     else:
+        order = np.argsort(assign, kind="stable")
+        list_size = np.bincount(assign, minlength=nlist).astype(np.int32)
+        max_list = int(list_size.max()) if nlist > 0 else 0
         sorted_vecs = emb[order]
         row_ids = order.astype(np.int32)
         list_start = np.zeros(nlist, np.int32)

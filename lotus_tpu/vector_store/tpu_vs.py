@@ -21,7 +21,7 @@ import numpy as np
 from numpy.typing import NDArray
 
 from lotus_tpu.ops import io as index_io
-from lotus_tpu.ops.common import round_up
+from lotus_tpu.ops.common import fetch_int32, round_up
 from lotus_tpu.ops.flat import DEFAULT_BLOCK_ROWS, flat_search
 from lotus_tpu.types import RMOutput
 from lotus_tpu.vector_store.vs import VS
@@ -390,7 +390,7 @@ class TpuVS(VS):
         # (honest end-to-end time; per-kernel timing belongs to bench.py's
         # chained methodology, see its docstring).
         dists_np = np.asarray(dists, dtype=np.float64)
-        idx_np = np.asarray(idx, dtype=np.int64)
+        idx_np = fetch_int32(idx).astype(np.int64)
         self.stats["searches"] += 1
         self.stats["queries"] += int(xq.shape[0])
         if ids is not None:

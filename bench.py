@@ -31,10 +31,22 @@ NPROBE = int(os.getenv("BENCH_NPROBE", "32"))
 B = 4096
 
 
+MODEL_CPU_SGEMM_FLOPS = 50e9  # generous single-core sgemm rate for the faiss model
+
+
+def _modeled_cpu_faiss_qps(n_total: int, d: int, nprobe: int, nlist: int) -> float:
+    """CPU faiss IVF-Flat model: per query it scans ~nprobe/nlist of the
+    corpus at an (assumed healthy) 50 GFLOP/s single-core sgemm rate.  Used
+    because this dev host's CPU measures ~100x below a normal core, which
+    would inflate vs_baseline absurdly; 50 GFLOP/s is GENEROUS to faiss."""
+    rows = n_total * nprobe / max(nlist, 1)
+    return MODEL_CPU_SGEMM_FLOPS / (2.0 * rows * d)
+
+
 def _cpu_baseline_qps(xq: np.ndarray, xb_sample: np.ndarray, n_total: int) -> float:
-    """Single-threaded numpy brute force on a device-fetched sample, scaled
-    to N — the matmul+top-k work CPU-faiss Flat does per query (faiss is not
-    in this image)."""
+    """Measured single-threaded numpy brute force on a device-fetched
+    sample, scaled to N (recorded for transparency; this host's core is
+    pathologically slow, so the headline vs_baseline uses the model above)."""
     nq = min(256, xq.shape[0])
     t0 = time.perf_counter()
     scores = xq[:nq] @ xb_sample.T
@@ -56,7 +68,7 @@ def main() -> None:
 
     on_tpu = jax.devices()[0].platform != "cpu"
     scale_cfg = (
-        dict(n=10 * 2**20, d=768, nlist=4096, n_clusters=6144, chunk=2**20, queries_b=B)
+        dict(n=10 * 2**20, d=768, nlist=4096, n_clusters=65536, chunk=2**19, queries_b=B)
         if on_tpu
         else dict(n=2**15, d=64, nlist=64, n_clusters=48, chunk=2**13, queries_b=256)
     )
@@ -94,12 +106,13 @@ def main() -> None:
         per_call = min(per_call, (time.perf_counter() - t0) / ITERS)
     qps = b / per_call
 
-    # CPU baseline from a device-generated sample (small tunnel fetch).
+    # Measured host baseline (transparency only) + modeled healthy-CPU faiss.
     centers = jax.random.normal(jax.random.PRNGKey(12345), (scale_cfg["n_clusters"], d), jnp.float32)
     sample = np.asarray(
         _gen_chunk(jax.random.PRNGKey(7), centers, 16384, d, scale_cfg["n_clusters"], 2.5)
     )
-    cpu_qps = _cpu_baseline_qps(xq, sample, n)
+    host_qps = _cpu_baseline_qps(xq, sample, n)
+    cpu_qps = _modeled_cpu_faiss_qps(n, d, nprobe, scale_cfg["nlist"])
 
     print(
         json.dumps(
@@ -109,9 +122,10 @@ def main() -> None:
                 "unit": "queries/sec",
                 "vs_baseline": round(qps / cpu_qps, 2),
                 "recall_at_10_vs_exact_f32": round(recall, 4),
-                "cpu_baseline_qps": round(cpu_qps, 1),
+                "cpu_model_qps_50gflops": round(cpu_qps, 1),
+                "cpu_host_measured_qps": round(host_qps, 2),
                 "build_vecs_per_s": round(built["build_vecs_per_s"], 1),
-                "storage": "int8 + per-row scales",
+                "storage": "residual int8 + per-row scales",
             }
         )
     )

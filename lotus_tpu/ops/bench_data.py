@@ -35,7 +35,7 @@ import numpy as np
 
 from lotus_tpu.ops.common import NO_HIT, fetch_int32
 from lotus_tpu.ops.ivf import plan_block_aligned_layout
-from lotus_tpu.ops.kmeans import kmeans_assign, kmeans_fit
+from lotus_tpu.ops.kmeans import kmeans_fit
 
 
 @functools.partial(jax.jit, static_argnames=("rows", "d", "n_clusters", "cluster_scale"))
@@ -73,12 +73,42 @@ def _scatter_rows(buf: jnp.ndarray, scale_buf: jnp.ndarray, dest: jnp.ndarray, q
     return buf.at[dest].set(q), scale_buf.at[dest].set(sc)
 
 
+@functools.partial(jax.jit, static_argnames=("sub",))
+def _assign_top2(x: jnp.ndarray, centroids: jnp.ndarray, sub: int = 65536):
+    """Top-2 centroid assignment per row: (a1, a2, margin = s1 - s2).
+
+    Scans query sub-chunks so the score matrix peaks at (sub, nlist) —
+    a full (chunk, nlist) f32 block would not fit next to the CSR buffer.
+    """
+    rows, d = x.shape
+    sub = min(sub, rows)
+    blocks = x.reshape(rows // sub, sub, d)
+
+    def one(blk):
+        s = jnp.einsum(
+            "qd,cd->qc", blk, centroids, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        # Two argmax passes instead of lax.top_k: the TopK custom call inside
+        # a scan wedges the axon runtime (observed hang); argmax lowers to
+        # plain reductions.
+        a1 = jnp.argmax(s, axis=1).astype(jnp.int32)
+        s1 = jnp.take_along_axis(s, a1[:, None], axis=1)[:, 0]
+        s_wo = s.at[jnp.arange(s.shape[0]), a1].set(-jnp.inf)
+        a2 = jnp.argmax(s_wo, axis=1).astype(jnp.int32)
+        s2 = jnp.take_along_axis(s_wo, a2[:, None], axis=1)[:, 0]
+        return a1, a2, s1 - s2
+
+    a1, a2, margin = jax.lax.map(one, blocks)
+    return a1.reshape(rows), a2.reshape(rows), margin.reshape(rows)
+
+
 def synth_ivf_device_build(
     *,
     n: int = 10_485_760,  # 10 * 2^20 ("10M"), a multiple of the chunk size
     d: int = 768,
     nlist: int = 4096,
-    n_clusters: int = 6144,
+    n_clusters: int = 65536,
     cluster_scale: float = 2.5,
     chunk: int = 1_048_576,
     queries_b: int = 4096,
@@ -86,7 +116,10 @@ def synth_ivf_device_build(
     k: int = 10,
     block_align: int = 512,
     seed: int = 0,
-    kmeans_iters: int = 8,
+    kmeans_iters: int = 10,
+    encoding: str = "residual_int8",
+    spill_frac: float = 0.15,
+    train_chunks: int = 2,
     log: Any = None,
 ) -> dict[str, Any]:
     """Build a device-resident int8 IVF index over a seeded synthetic corpus.
@@ -116,8 +149,21 @@ def synth_ivf_device_build(
     xq = xq / jnp.linalg.norm(xq, axis=1, keepdims=True)
     xq_gt = xq[:gt_queries]
 
-    res = kmeans_fit(x0, nlist, iters=kmeans_iters, metric="l2", spherical=True, key=jax.random.PRNGKey(seed + 1))
+    if train_chunks > 1 and n_chunks > 1:
+        extra = [
+            _gen_chunk(chunk_keys[c], centers, chunk, d, n_clusters, cluster_scale)
+            for c in range(1, min(train_chunks, n_chunks))
+        ]
+        train_x = jnp.concatenate([x0, *extra])
+        del extra
+    else:
+        train_x = x0
+    res = kmeans_fit(
+        train_x, nlist, iters=kmeans_iters, metric="l2", spherical=True, key=jax.random.PRNGKey(seed + 1)
+    )
     centroids = res.centroids.astype(jnp.float32)
+    centroids.block_until_ready()
+    del train_x
     timings["train_s"] = time.perf_counter() - t0
     say(f"pass1: kmeans trained ({timings['train_s']:.0f}s)")
 
@@ -125,42 +171,94 @@ def synth_ivf_device_build(
     best_s = jnp.full((gt_queries, k), -np.inf, jnp.float32)
     best_i = jnp.full((gt_queries, k), -1, jnp.int32)
     assign = np.empty(n, np.int32)
+    assign2 = np.empty(n, np.int32)
+    margins = np.empty(n, np.float32)
     for c in range(n_chunks):
         x = x0 if c == 0 else _gen_chunk(chunk_keys[c], centers, chunk, d, n_clusters, cluster_scale)
-        say(f"pass1: chunk {c + 1}: gt_merge dispatch")
+        say(f"pass1: chunk {c + 1}: gt")
         best_s, best_i = _gt_merge(best_s, best_i, xq_gt, x, jnp.int32(c * chunk), k)
-        # kmeans_assign scans row blocks, so scores peak at block x nlist —
-        # a full (chunk, nlist) f32 score matrix would be 16 GB at 10M scale.
-        say(f"pass1: chunk {c + 1}: assign dispatch")
-        a, _ = kmeans_assign(x, centroids, metric="ip")
-        say(f"pass1: chunk {c + 1}: fetch")
-        assign[c * chunk : (c + 1) * chunk] = fetch_int32(a)
+        # Top-2 assignment in query sub-chunks — a full (chunk, nlist) f32
+        # score matrix would not fit next to everything else at 10M scale.
+        say(f"pass1: chunk {c + 1}: top2")
+        a1, a2, mg = _assign_top2(x, centroids)
+        say(f"pass1: chunk {c + 1}: block")
+        a1.block_until_ready()
+        sl = slice(c * chunk, (c + 1) * chunk)
+        say(f"pass1: chunk {c + 1}: fetch a1")
+        assign[sl] = fetch_int32(a1)
+        say(f"pass1: chunk {c + 1}: fetch a2")
+        assign2[sl] = fetch_int32(a2)
+        say(f"pass1: chunk {c + 1}: fetch mg")
+        margins[sl] = np.asarray(mg)
         say(f"pass1: chunk {c + 1}/{n_chunks} scored+assigned")
     del x0, x
     gt = fetch_int32(best_i)
     xq_host = np.asarray(xq)
     timings["scan_s"] = time.perf_counter() - t0
 
-    # ---- host: CSR geometry (cheap integer work) ---------------------------
+    # ---- host: spill selection + CSR geometry (cheap integer work) ---------
+    # SOAR-style selective replication: the spill_frac rows closest to a
+    # cell boundary (smallest top-2 score margin) are stored in BOTH lists,
+    # recovering the boundary-split recall loss; the probe dedups by row id.
     t0 = time.perf_counter()
-    plan = plan_block_aligned_layout(assign, nlist, block_align)
+    if spill_frac > 0:
+        tau = float(np.quantile(margins, spill_frac))
+        spill_rows = np.where(margins <= tau)[0].astype(np.int64)
+    else:
+        spill_rows = np.empty(0, np.int64)
+    entry_assign = np.concatenate([assign, assign2[spill_rows]])
+    row_of_entry = np.concatenate([np.arange(n, dtype=np.int64), spill_rows]).astype(np.int32)
+    plan = plan_block_aligned_layout(entry_assign, nlist, block_align, row_of_entry)
+    entry_dest = np.empty(entry_assign.shape[0], np.int64)
+    entry_dest[plan["order"]] = plan["dest"]
+    primary_dest, spill_dest = entry_dest[:n], entry_dest[n:]
     timings["plan_s"] = time.perf_counter() - t0
-    say(f"plan: total={plan['total']:,} window={plan['window']}")
+    say(f"plan: entries={entry_assign.shape[0]:,} total={plan['total']:,} window={plan['window']}")
 
     # ---- pass 2: regenerate, quantise, scatter into the CSR buffer ---------
     t0 = time.perf_counter()
     pad = plan["window"]
     total = plan["total"] + pad
+    dummy_pos = total - 1  # inside the never-probed window tail
     buf = jnp.zeros((total, d), jnp.int8)
     scale_buf = jnp.ones((total,), jnp.float32)
-    dest = plan["dest"]
-    inv = np.empty(n, np.int64)  # dest position of each ORIGINAL row (host-side int64)
-    inv[plan["order"]] = dest
+    residual = encoding == "residual_int8"
+    # Static per-chunk spill capacity so the scatter compiles once.
+    spill_cap = max(1, int(chunk * max(spill_frac, 0.01) * 1.5))
+    # Quantize+scatter in half-chunks: with the ~9 GB CSR buffer resident,
+    # the residual path's gathered-centroid temporaries must stay small.
+    half = chunk // 2
     for c in range(n_chunks):
         x = _gen_chunk(chunk_keys[c], centers, chunk, d, n_clusters, cluster_scale)
-        q8, sc = _quantize_rows(x)
-        dest_c = jnp.asarray(inv[c * chunk : (c + 1) * chunk])
-        buf, scale_buf = _scatter_rows(buf, scale_buf, dest_c, q8, sc)
+        for lo in (0, half):
+            part = x[lo : lo + half]
+            if residual:
+                # Store residuals: ~4x smaller per-row maxabs than raw
+                # vectors on clustered data, so the int8 step (and its
+                # dot-product noise) shrinks by the same factor.  The probe
+                # adds the exact f32 coarse term q.c back per probed list.
+                a_dev = jnp.asarray(assign[c * chunk + lo : c * chunk + lo + half])
+                part = part - jnp.take(centroids, a_dev, axis=0)
+            q8, sc = _quantize_rows(part)
+            dest_c = jnp.asarray(primary_dest[c * chunk + lo : c * chunk + lo + half])
+            buf, scale_buf = _scatter_rows(buf, scale_buf, dest_c, q8, sc)
+        if spill_rows.size:
+            in_c = (spill_rows >= c * chunk) & (spill_rows < (c + 1) * chunk)
+            loc = spill_rows[in_c] - c * chunk
+            m_c = loc.shape[0]
+            if m_c > spill_cap:
+                raise RuntimeError(f"spill_cap {spill_cap} < chunk spill {m_c}")
+            loc_pad = np.zeros(spill_cap, np.int64)
+            loc_pad[:m_c] = loc
+            sd_pad = np.full(spill_cap, dummy_pos, np.int64)  # padding lands in the dead tail
+            sd_pad[:m_c] = spill_dest[in_c]
+            a2_pad = np.zeros(spill_cap, np.int32)
+            a2_pad[:m_c] = assign2[spill_rows[in_c]]
+            part = x[jnp.asarray(loc_pad)]
+            if residual:
+                part = part - jnp.take(centroids, jnp.asarray(a2_pad), axis=0)
+            q8, sc = _quantize_rows(part)
+            buf, scale_buf = _scatter_rows(buf, scale_buf, jnp.asarray(sd_pad), q8, sc)
         say(f"pass2: chunk {c + 1}/{n_chunks} packed")
     buf.block_until_ready()
     timings["pack_s"] = time.perf_counter() - t0
@@ -172,6 +270,8 @@ def synth_ivf_device_build(
         "probe_window": int(plan["window"]),
         "block_align": int(block_align),
         "metric": "ip",
+        "encoding": encoding,
+        "spill_frac": spill_frac,
         "n": n,
         "d": d,
         "seed": seed,

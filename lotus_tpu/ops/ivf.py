@@ -28,15 +28,21 @@ from lotus_tpu.ops.kmeans import kmeans_fit
 TRAIN_POINTS_PER_CENTROID = 256
 
 
-def plan_block_aligned_layout(assign: np.ndarray, nlist: int, block_align: int) -> dict[str, Any]:
+def plan_block_aligned_layout(
+    assign: np.ndarray, nlist: int, block_align: int, row_of_entry: np.ndarray | None = None
+) -> dict[str, Any]:
     """Plan the block-aligned CSR layout from a list assignment (host-side).
 
     Every list starts at a multiple of ``block_align`` rows and occupies
     whole blocks; tail rows of each list's last block are padding (row id
     ``NO_HIT``).  Returns the geometry plus the scatter mapping:
-    ``order`` (rows in assignment-sorted order) and ``dest`` (the storage
-    position of each of those rows), so callers can place vector data with
-    ``storage[dest] = vectors[order]`` — on host or on device.
+    ``order`` (entries in assignment-sorted order) and ``dest`` (the storage
+    position of each of those entries), so callers can place vector data
+    with ``storage[dest] = vectors[order]`` — on host or on device.
+
+    ``row_of_entry`` maps each assignment ENTRY to its logical row id,
+    allowing one row to be stored in several lists (spilled/SOAR-style
+    replicated assignment); by default entry i IS row i.
     """
     n = assign.shape[0]
     order = np.argsort(assign, kind="stable")
@@ -54,7 +60,7 @@ def plan_block_aligned_layout(assign: np.ndarray, nlist: int, block_align: int) 
     dest = list_start.astype(np.int64)[assign[order]] + rank_in_list
 
     row_ids = np.full(total, NO_HIT, np.int32)
-    row_ids[dest] = order
+    row_ids[dest] = order if row_of_entry is None else row_of_entry[order]
     window = max(block_align, int(((max_list + block_align - 1) // block_align) * block_align))
     return {
         "order": order,

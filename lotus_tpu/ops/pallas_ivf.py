@@ -145,6 +145,7 @@ def _grouped_probe_pallas(
     int8_queries: bool,
     owned: jnp.ndarray | None = None,
     probe_lists: jnp.ndarray | None = None,
+    probe_bias: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     b, d = xq.shape
     nlist = list_start.shape[0]
@@ -301,19 +302,43 @@ def _grouped_probe_pallas(
     kc = max_blocks * ncand
     cand_s = jnp.full((b, nprobe, kc), MASK_SCORE, jnp.float32).at[sq, sslot].set(pool_s)
     cand_i = jnp.full((b, nprobe, kc), 0, jnp.int32).at[sq, sslot].set(pool_i)
+    if probe_bias is not None:
+        # Residual encoding: the stored vectors are (x - centroid), so every
+        # candidate of probe slot s owes the exact coarse term q.c held in
+        # probe_bias[:, s].  The bias breaks the "q-scale is rank-neutral"
+        # trick, so int8 queries are dequantized here instead of after top-k.
+        masked = cand_s <= MASK_SCORE / 2
+        if q_scales is not None:
+            cand_s = cand_s * q_scales[:, None, None]
+        cand_s = jnp.where(masked, MASK_SCORE, cand_s + probe_bias[:, :, None])
     cand_s = cand_s.reshape(b, nprobe * kc)
     cand_i = cand_i.reshape(b, nprobe * kc)
 
-    k_out = min(k, nprobe * kc)
+    # Take 2k head-room, then drop duplicate row ids keeping each id's best
+    # copy: spilled (SOAR-style replicated) rows can reach the pool through
+    # two probed lists.  Cheap — the argsort is over 2k elements.
+    k_out = min(2 * k, nprobe * kc)
     top_s, pos = jax.lax.top_k(cand_s, k_out)
     top_rows = jnp.take_along_axis(cand_i, pos, axis=1)
     top_i = row_ids[top_rows]
     top_i = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_i)
-    if q_scales is not None:
+
+    grp = jnp.argsort(top_i, axis=1, stable=True)  # groups ids; keeps score order inside
+    gi = jnp.take_along_axis(top_i, grp, axis=1)
+    gs = jnp.take_along_axis(top_s, grp, axis=1)
+    prev = jnp.concatenate([jnp.full((b, 1), -2, gi.dtype), gi[:, :-1]], axis=1)
+    dup = (gi == prev) & (gi != NO_HIT)
+    gs = jnp.where(dup, MASK_SCORE, gs)
+    gi = jnp.where(dup, NO_HIT, gi)
+
+    k_fin = min(k, k_out)
+    top_s, pos2 = jax.lax.top_k(gs, k_fin)
+    top_i = jnp.take_along_axis(gi, pos2, axis=1)
+    if q_scales is not None and probe_bias is None:
         # Per-query dequantization constant; rank-neutral, so applied last.
         top_s = jnp.where(top_i == NO_HIT, top_s, top_s * q_scales[:, None])
-    if k_out < k:
-        padn = k - k_out
+    if k_fin < k:
+        padn = k - k_fin
         top_s = jnp.concatenate([top_s, jnp.full((b, padn), MASK_SCORE)], axis=1)
         top_i = jnp.concatenate([top_i, jnp.full((b, padn), NO_HIT, jnp.int32)], axis=1)
     return top_s, top_i
@@ -328,10 +353,19 @@ def ivf_search_pallas(
     metric: str = "ip",
     interpret: bool = False,
     int8_queries: bool = False,
+    query_chunk: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Grouped IVF probe via the Pallas block-DMA kernel (ip/cosine/l2).
 
     Requires a block-aligned index (``build_ivf(..., block_align=512)``).
+
+    Stores with ``meta["encoding"] == "residual_int8"`` hold int8 residuals
+    (x - assigned centroid); the exact f32 coarse term q.c from the ranking
+    pass is added back per probe slot, shrinking quantization noise by the
+    residual-to-vector magnitude ratio (ip/cosine only).
+
+    ``query_chunk`` bounds the candidate-pool memory (which grows with
+    b * nprobe) by probing the batch in slices.
     """
     meta = state["meta"]
     if int(meta.get("block_align", 0)) != BL:
@@ -340,11 +374,24 @@ def ivf_search_pallas(
     window = int(meta["probe_window"])
     nprobe = max(1, min(nprobe, nlist))
     max_blocks = max(1, window // BL)
+    residual = meta.get("encoding") == "residual_int8"
+    if residual and metric == "l2":
+        raise ValueError("residual_int8 stores support ip/cosine only")
 
     squeeze = xq.ndim == 1
     if squeeze:
         xq = xq[None, :]
     xq = xq.astype(jnp.float32)
+
+    if query_chunk is not None and xq.shape[0] > query_chunk:
+        parts = [
+            ivf_search_pallas(
+                state, xq[lo : lo + query_chunk], k, nprobe=nprobe, metric=metric,
+                interpret=interpret, int8_queries=int8_queries,
+            )
+            for lo in range(0, xq.shape[0], query_chunk)
+        ]
+        return jnp.concatenate([p[0] for p in parts]), jnp.concatenate([p[1] for p in parts])
 
     # Block-aligned builds store whole blocks plus a whole-block window pad,
     # so this never copies; anything else would re-pad the DB every call.
@@ -354,6 +401,10 @@ def ivf_search_pallas(
     if metric == "l2" and "ivf_norms_sq" not in state:
         # Float stores don't persist norms; compute once and cache.
         state["ivf_norms_sq"] = jnp.sum(jnp.square(vecs.astype(jnp.float32)), axis=-1)
+    probe_lists = probe_bias = None
+    if residual:
+        coarse_sim, probe_lists = flat_search(state["centroids"], xq, nprobe, metric=metric)
+        probe_bias = coarse_sim  # ip/cosine: distances ARE similarities
     scores, idx = _grouped_probe_pallas(
         state["centroids"],
         vecs,
@@ -369,6 +420,8 @@ def ivf_search_pallas(
         metric,
         interpret,
         int8_queries,
+        probe_lists=probe_lists,
+        probe_bias=probe_bias,
     )
     dists = as_distance(scores, metric)
     if metric == "l2":

@@ -38,8 +38,12 @@ def test_build_shapes_and_store(built):
     assert built["gt"].shape == (CFG["gt_queries"], CFG["k"])
     assert st["ivf_vectors"].dtype == jnp.int8
     assert st["ivf_vectors"].shape[0] % 512 == 0
-    live = np.asarray(st["ivf_row_ids"])
-    assert (live >= 0).sum() == n
+    rid = np.asarray(st["ivf_row_ids"])
+    live = rid[rid >= 0]
+    counts = np.bincount(live, minlength=n)
+    # Spilled (boundary) rows appear in exactly two lists, everyone else once.
+    assert counts.min() >= 1 and counts.max() <= 2
+    assert (counts == 2).sum() == live.size - n
     assert built["build_vecs_per_s"] > 0
 
 

@@ -15,26 +15,26 @@ from lotus_tpu.ops.bench_data import synth_ivf_device_build
 from lotus_tpu.ops.common import fetch_int32
 from lotus_tpu.ops.pallas_ivf import ivf_search_pallas
 
-built = synth_ivf_device_build(n=10 * 2**20, d=768, nlist=4096, n_clusters=6144,
-                               chunk=2**20, queries_b=4096, gt_queries=256, k=10,
+built = synth_ivf_device_build(n=10 * 2**20, d=768, nlist=4096, n_clusters=65536,
+                               chunk=2**19, queries_b=4096, gt_queries=256, k=10,
                                seed=0, log=lambda m: print(m, flush=True))
 state, xq, gt = built["state"], built["queries"], built["gt"]
 xq_dev = jnp.asarray(xq, jnp.float32)
 K = 10
 
-def recall_at(nprobe):
-    d_, i_ = ivf_search_pallas(state, xq_dev, K, nprobe=nprobe, metric="ip")
+def recall_at(nprobe, qc=None):
+    d_, i_ = ivf_search_pallas(state, xq_dev, K, nprobe=nprobe, metric="ip", query_chunk=qc)
     got = fetch_int32(i_)[: gt.shape[0]]
     rec = float(np.mean([len(set(got[i]) & set(gt[i])) / K for i in range(gt.shape[0])]))
     # quick chained timing (3 iters is enough for a sweep)
     t0 = time.perf_counter()
     q = xq_dev
     for _ in range(3):
-        dd, _ = ivf_search_pallas(state, q, K, nprobe=nprobe, metric="ip")
+        dd, _ = ivf_search_pallas(state, q, K, nprobe=nprobe, metric="ip", query_chunk=qc)
         q = xq_dev + 0.0 * dd[:, :1]
     float(np.asarray(dd[0, 0]))
     qps = 4096 / ((time.perf_counter() - t0) / 3)
     print(f"nprobe={nprobe}: recall={rec:.4f} qps={qps:,.0f}", flush=True)
 
-for np_ in (16, 32, 64, 128, 256):
-    recall_at(np_)
+for np_, qc in ((8, None), (16, None), (32, None), (64, 2048), (128, 1024)):
+    recall_at(np_, qc)

@@ -16,6 +16,35 @@ MASK_SCORE = -3.0e38
 METRICS = ("ip", "cosine", "l2")
 
 
+def dedup_topk(scores: jnp.ndarray, ids: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Top-k of (scores, ids) rows with duplicate ids collapsed to their
+    best-scored copy.
+
+    Used wherever spilled (replicated-assignment) rows can reach a candidate
+    pool through more than one list or shard.  Input columns should already
+    be a small pool (e.g. 2k head-room); the argsort is per-row over that
+    pool only.  Masked entries are ``NO_HIT`` ids with ``MASK_SCORE`` scores.
+    """
+    import jax
+
+    b = scores.shape[0]
+    grp = jnp.argsort(ids, axis=1, stable=True)  # group ids; keep score order inside
+    gi = jnp.take_along_axis(ids, grp, axis=1)
+    gs = jnp.take_along_axis(scores, grp, axis=1)
+    prev = jnp.concatenate([jnp.full((b, 1), -2, gi.dtype), gi[:, :-1]], axis=1)
+    dup = (gi == prev) & (gi != NO_HIT)
+    gs = jnp.where(dup, MASK_SCORE, gs)
+    gi = jnp.where(dup, NO_HIT, gi)
+    k_fin = min(k, scores.shape[1])
+    top_s, pos = jax.lax.top_k(gs, k_fin)
+    top_i = jnp.take_along_axis(gi, pos, axis=1)
+    if k_fin < k:
+        padn = k - k_fin
+        top_s = jnp.concatenate([top_s, jnp.full((b, padn), MASK_SCORE, top_s.dtype)], axis=1)
+        top_i = jnp.concatenate([top_i, jnp.full((b, padn), NO_HIT, top_i.dtype)], axis=1)
+    return top_s, top_i
+
+
 def fetch_int32(x: jnp.ndarray) -> "np.ndarray":  # noqa: F821
     """Device->host fetch of an int32 array, bitcast to f32 for the wire.
 

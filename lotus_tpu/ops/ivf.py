@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lotus_tpu.ops import io as index_io
-from lotus_tpu.ops.common import MASK_SCORE, NO_HIT, as_distance, round_up
+from lotus_tpu.ops.common import MASK_SCORE, NO_HIT, as_distance, dedup_topk, round_up
 from lotus_tpu.ops.flat import flat_search
 from lotus_tpu.ops.kmeans import kmeans_fit
 
@@ -83,6 +83,7 @@ def build_ivf(
     train_iters: int = 10,
     seed: int = 0,
     block_align: int | None = None,
+    spill_frac: float = 0.0,
 ) -> dict[str, Any]:
     """Train the coarse quantizer, assign, sort, persist. Returns meta patch.
 
@@ -90,6 +91,11 @@ def build_ivf(
     that many rows and occupies whole blocks (zero rows / -1 ids pad each
     list's tail) — the layout the Pallas grouped-probe kernel needs for
     block-granularity DMA.
+
+    ``spill_frac`` > 0 stores that fraction of rows (those with the
+    smallest top-2 centroid score margin — the cell-boundary rows that
+    dominate IVF recall loss) in BOTH their nearest lists; the probes
+    dedup by row id.  Requires ``block_align``.
     """
     n, d = emb.shape
     nlist = min(nlist, n)
@@ -115,30 +121,51 @@ def build_ivf(
     centroids = np.asarray(res.centroids, dtype=np.float32)
     del train_x
 
+    if spill_frac > 0 and not block_align:
+        raise ValueError("spill_frac requires a block-aligned build")
+
     # Assign by the index metric so probe-time coarse ranking is consistent.
     # Chunked host->device streaming keeps peak HBM at one chunk + centroids.
-    from lotus_tpu.ops.kmeans import kmeans_assign
+    from lotus_tpu.ops.common import fetch_int32
+    from lotus_tpu.ops.kmeans import kmeans_assign, kmeans_assign_top2
 
     cent_dev = jnp.asarray(centroids)
     assign = np.empty(n, np.int32)
+    assign2 = np.empty(n, np.int32) if spill_frac > 0 else None
+    margins = np.empty(n, np.float32) if spill_frac > 0 else None
     chunk_rows = max(1, (1 << 31) // max(d * 4, 1))  # ~2 GB of f32 rows per pass
     for s in range(0, n, chunk_rows):
-        a, _ = kmeans_assign(jnp.asarray(emb[s : s + chunk_rows]), cent_dev, metric=metric)
-        assign[s : s + chunk_rows] = np.asarray(a)
+        x_dev = jnp.asarray(emb[s : s + chunk_rows])
+        if spill_frac > 0:
+            a1, a2, mg = kmeans_assign_top2(x_dev, cent_dev, metric=metric)
+            assign[s : s + chunk_rows] = fetch_int32(a1)
+            assign2[s : s + chunk_rows] = fetch_int32(a2)
+            margins[s : s + chunk_rows] = np.asarray(mg)
+        else:
+            a, _ = kmeans_assign(x_dev, cent_dev, metric=metric)
+            assign[s : s + chunk_rows] = fetch_int32(a)
     del cent_dev
 
     if block_align:
-        plan = plan_block_aligned_layout(assign, nlist, block_align)
+        if spill_frac > 0:
+            tau = float(np.quantile(margins, spill_frac))
+            spill_rows = np.where(margins <= tau)[0]
+            entry_assign = np.concatenate([assign, assign2[spill_rows]])
+            row_of_entry = np.concatenate([np.arange(n, dtype=np.int64), spill_rows]).astype(np.int32)
+        else:
+            entry_assign, row_of_entry = assign, None
+        plan = plan_block_aligned_layout(entry_assign, nlist, block_align, row_of_entry)
         list_start, list_size = plan["list_start"], plan["list_size"]
         row_ids, window = plan["row_ids"], plan["window"]
         order, dest = plan["order"], plan["dest"]
+        src_rows = order if row_of_entry is None else row_of_entry[order]
         sorted_vecs = np.zeros((plan["total"], d), np.float32)
-        # Vectorized scatter: row r (in assignment-sorted order) lands at its
-        # list's start plus its rank within the list; chunked so the 10M x
-        # 768 case streams instead of materializing a second full copy.
+        # Vectorized scatter: entry e (in assignment-sorted order) lands at
+        # its list's start plus its rank within the list; chunked so the
+        # 10M x 768 case streams instead of materializing a second copy.
         chunk = max(1, (1 << 28) // max(d * 4, 1))  # ~256 MB of rows per pass
-        for s in range(0, n, chunk):
-            sorted_vecs[dest[s : s + chunk]] = emb[order[s : s + chunk]]
+        for s in range(0, len(src_rows), chunk):
+            sorted_vecs[dest[s : s + chunk]] = emb[src_rows[s : s + chunk]]
         max_list = plan["max_list"]
     else:
         order = np.argsort(assign, kind="stable")
@@ -165,11 +192,18 @@ def build_ivf(
         "max_list_size": max_list,
         "probe_window": int(window),
         "block_align": int(block_align) if block_align else 0,
+        "spill_frac": float(spill_frac),
     }
 
 
+def centroid_of_position(list_start: np.ndarray, total_rows: int) -> np.ndarray:
+    """List id of every storage position (CSR lists are start-sorted)."""
+    pos = np.arange(total_rows, dtype=np.int64)
+    return (np.searchsorted(list_start, pos, side="right") - 1).clip(0).astype(np.int32)
+
+
 def load_ivf_state(index_dir: str, meta: dict[str, Any], dtype: Any) -> dict[str, Any]:
-    state = {
+    state: dict[str, Any] = {
         "centroids": jnp.asarray(index_io.read_array(index_dir, "ivf_centroids", mmap=False)),
         "ivf_row_ids": jnp.asarray(index_io.read_array(index_dir, "ivf_row_ids", mmap=False)),
         "ivf_list_start": jnp.asarray(index_io.read_array(index_dir, "ivf_list_start", mmap=False)),
@@ -180,12 +214,39 @@ def load_ivf_state(index_dir: str, meta: dict[str, Any], dtype: Any) -> dict[str
         # Per-row symmetric quantization on the host, chunked so a 10M x 768
         # store never needs a second float copy in RAM. Scores factor as
         # qscale * rowscale * int8dot; rowscale rides along in the state.
+        #
+        # residual_int8 (ip/cosine, opt-in via meta["encoding"]): quantize
+        # (vec - list centroid) instead — the residual's smaller maxabs
+        # shrinks the int8 step ~4x, and the probes add the exact f32 q.c
+        # term back per probed list.
+        residual = meta.get("encoding") == "residual_int8" and meta.get("metric") != "l2"
         n = vecs.shape[0]
         q = np.empty(vecs.shape, np.int8)
         scales = np.empty(n, np.float32)
+        if residual:
+            cents = np.asarray(index_io.read_array(index_dir, "ivf_centroids", mmap=False), np.float32)
+            starts = np.asarray(index_io.read_array(index_dir, "ivf_list_start", mmap=False))
+            row_ids_np = np.asarray(index_io.read_array(index_dir, "ivf_row_ids", mmap=False))
+            pos_list = centroid_of_position(starts, n)
+            # Residual coding only helps when rows sit close to their
+            # centroid (clustered data / enough lists).  On a sample, compare
+            # the residual's per-row maxabs (= the int8 step) against the raw
+            # vector's; fall back to plain int8 when residuals are no
+            # smaller.  The returned state carries the decision in "meta".
+            live_pos = np.nonzero(row_ids_np >= 0)[0]
+            sample = live_pos[:: max(1, len(live_pos) // 4096)][:4096]
+            sv = np.asarray(vecs[sample], np.float32)
+            raw_step = np.abs(sv).max(axis=1).mean()
+            res_step = np.abs(sv - cents[pos_list[sample]]).max(axis=1).mean()
+            if res_step >= raw_step * 0.9:
+                residual = False
+                state["meta"] = {**meta, "encoding": "int8"}
         step = 1 << 20
         for s in range(0, n, step):
             block = np.asarray(vecs[s : s + step], dtype=np.float32)
+            if residual:
+                live = (row_ids_np[s : s + step] >= 0)[:, None]
+                block = np.where(live, block - cents[pos_list[s : s + step]], 0.0)
             m = np.abs(block).max(axis=1)
             sc = np.where(m > 0, m / 127.0, 1.0).astype(np.float32)
             q[s : s + step] = np.clip(np.rint(block / sc[:, None]), -127, 127).astype(np.int8)
@@ -200,7 +261,7 @@ def load_ivf_state(index_dir: str, meta: dict[str, Any], dtype: Any) -> dict[str
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("k", "nprobe", "window", "metric", "query_chunk"))
+@functools.partial(jax.jit, static_argnames=("k", "nprobe", "window", "metric", "query_chunk", "residual"))
 def _ivf_probe(
     centroids: jnp.ndarray,
     xb_sorted: jnp.ndarray,
@@ -215,12 +276,14 @@ def _ivf_probe(
     query_chunk: int,
     row_scales: jnp.ndarray | None = None,
     norms_sq: jnp.ndarray | None = None,
+    residual: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     b, d = xq.shape
     is_int8 = xb_sorted.dtype == jnp.int8
 
-    # Coarse ranking: nearest nprobe centroids per query.
-    _, probe_lists = flat_search(centroids, xq, nprobe, metric=metric)
+    # Coarse ranking: nearest nprobe centroids per query.  For residual
+    # stores the coarse similarities double as the exact q.c score term.
+    coarse_s, probe_lists = flat_search(centroids, xq, nprobe, metric=metric)
 
     if metric == "l2":
         # int8 stores ship precomputed norms; float stores derive them here.
@@ -238,7 +301,7 @@ def _ivf_probe(
     offsets = jax.lax.broadcasted_iota(jnp.int32, (window, 1), 0).squeeze(-1)
 
     def chunk_search(args):
-        xq_c, lists_c = args  # (QC, d), (QC, nprobe)
+        xq_c, lists_c, coarse_c = args  # (QC, d), (QC, nprobe), (QC, nprobe)
         qc = xq_c.shape[0]
         starts = list_start[lists_c]  # (QC, nprobe)
         sizes = list_size[lists_c]
@@ -257,30 +320,34 @@ def _ivf_probe(
             # Dequantize at the score level: int8 rows factor their scale out
             # of the dot product (cheaper than scaling the gathered slab).
             sims = sims * row_scales[rows_flat]
+        if residual:
+            # Residual store: every candidate of probe slot s owes q.c of
+            # that slot's list (exact, f32, from the coarse ranking).
+            sims = (sims.reshape(qc, nprobe, window) + coarse_c[:, :, None]).reshape(qc, -1)
         if metric == "l2":
             sims = 2.0 * sims - xb_norms[rows_flat]
         scores = jnp.where(in_list.reshape(qc, nprobe * window), sims, MASK_SCORE)
-        kc = min(k, nprobe * window)
+        # 2k head-room, then drop duplicate row ids (spilled rows can appear
+        # through two probed lists) keeping each id's best-scored copy.
+        kc = min(2 * k, nprobe * window)
         top_s, pos = jax.lax.top_k(scores, kc)
         top_rows = jnp.take_along_axis(rows_flat, pos, axis=1)
         top_ids = row_ids[top_rows]
         top_ids = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_ids)
-        if kc < k:
-            padn = k - kc
-            top_s = jnp.concatenate([top_s, jnp.full((qc, padn), MASK_SCORE, top_s.dtype)], axis=1)
-            top_ids = jnp.concatenate([top_ids, jnp.full((qc, padn), NO_HIT, top_ids.dtype)], axis=1)
-        return top_s, top_ids
+        return dedup_topk(top_s, top_ids, k)
 
     if b <= query_chunk:
-        return chunk_search((xq, probe_lists))
+        return chunk_search((xq, probe_lists, coarse_s))
 
     # Pad queries to a chunk multiple, process with lax.map.
     b_pad = round_up(b, query_chunk)
     xq_p = jnp.pad(xq, ((0, b_pad - b), (0, 0)))
     lists_p = jnp.pad(probe_lists, ((0, b_pad - b), (0, 0)))
+    coarse_p = jnp.pad(coarse_s, ((0, b_pad - b), (0, 0)))
     xq_chunks = xq_p.reshape(-1, query_chunk, d)
     list_chunks = lists_p.reshape(-1, query_chunk, nprobe)
-    top_s, top_ids = jax.lax.map(chunk_search, (xq_chunks, list_chunks))
+    coarse_chunks = coarse_p.reshape(-1, query_chunk, nprobe)
+    top_s, top_ids = jax.lax.map(chunk_search, (xq_chunks, list_chunks, coarse_chunks))
     return top_s.reshape(b_pad, k)[:b], top_ids.reshape(b_pad, k)[:b]
 
 
@@ -298,6 +365,11 @@ def ivf_search(
     nlist = int(meta["nlist"])
     window = int(meta["probe_window"])
     nprobe = max(1, min(nprobe, nlist))
+    # Residual scoring applies only when storage really is int8 residuals
+    # (an f32 load of the same index stores the raw vectors).
+    residual = meta.get("encoding") == "residual_int8" and state["ivf_vectors"].dtype == jnp.int8
+    if residual and metric == "l2":
+        raise ValueError("residual_int8 stores support ip/cosine only")
 
     # Chunk queries so the gathered candidate slab stays within budget.
     per_query_rows = nprobe * window
@@ -322,6 +394,7 @@ def ivf_search(
         query_chunk,
         state.get("ivf_row_scales"),
         state.get("ivf_norms_sq"),
+        residual=residual,
     )
     dists = as_distance(scores, metric)
     if metric == "l2":

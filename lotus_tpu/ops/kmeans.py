@@ -59,6 +59,61 @@ def _assign_scores(block: jnp.ndarray, centroids: jnp.ndarray, metric: str, c_no
     return best, best_score
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "block_rows"))
+def _assign_top2_impl(x: jnp.ndarray, centroids: jnp.ndarray, metric: str, block_rows: int):
+    n_pad, d = x.shape
+    c32 = centroids.astype(jnp.float32)
+    c_norms = jnp.sum(jnp.square(c32), axis=-1)
+
+    def top2(block):
+        if block.dtype == jnp.bfloat16:
+            compute_dtype, precision = jnp.bfloat16, None
+        else:
+            compute_dtype, precision = jnp.float32, jax.lax.Precision.HIGHEST
+        sims = jnp.einsum(
+            "nd,kd->nk", block.astype(compute_dtype), centroids.astype(compute_dtype),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        scores = 2.0 * sims - c_norms[None, :] if metric == "l2" else sims
+        # Two argmax passes, not lax.top_k: a TopK custom call inside a scan
+        # wedges the axon runtime (observed), argmax lowers to reductions.
+        a1 = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        s1 = jnp.take_along_axis(scores, a1[:, None], axis=1)[:, 0]
+        masked = scores.at[jnp.arange(scores.shape[0]), a1].set(-jnp.inf)
+        a2 = jnp.argmax(masked, axis=1).astype(jnp.int32)
+        s2 = jnp.take_along_axis(masked, a2[:, None], axis=1)[:, 0]
+        return a1, a2, s1 - s2
+
+    num_blocks = cdiv(n_pad, block_rows)
+    if num_blocks <= 1:
+        return top2(x)
+    assert n_pad % block_rows == 0
+    blocks = x.reshape(num_blocks, block_rows, d)
+    a1, a2, margin = jax.lax.map(top2, blocks)
+    return a1.reshape(-1), a2.reshape(-1), margin.reshape(-1)
+
+
+def kmeans_assign_top2(
+    x: jnp.ndarray, centroids: jnp.ndarray, *, metric: str = "l2", block_rows: int | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Top-2 centroid assignment: (a1, a2, margin).
+
+    ``margin`` is the score gap between the best and second-best centroid
+    in the metric's similarity convention (always >= 0) — the spill
+    criterion for SOAR-style replicated IVF assignment.  Blocked so the
+    score matrix peaks at (block_rows, k) regardless of N.
+    """
+    check_metric(metric)
+    n = x.shape[0]
+    k = centroids.shape[0]
+    if block_rows is None:
+        # ~256 MB f32 score-tile budget.
+        block_rows = max(1024, min(DEFAULT_BLOCK_ROWS * 4, (1 << 26) // max(k, 1)))
+    x_pad, _ = _pad_rows(x, block_rows)
+    a1, a2, margin = _assign_top2_impl(x_pad, centroids, metric, block_rows)
+    return a1[:n], a2[:n], margin[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "block_rows", "k"))
 def _assign_impl(x: jnp.ndarray, centroids: jnp.ndarray, n_rows: jnp.ndarray, metric: str, block_rows: int, k: int):
     n_pad, d = x.shape

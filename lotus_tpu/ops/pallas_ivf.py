@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lotus_tpu.ops.common import MASK_SCORE, NO_HIT, as_distance
+from lotus_tpu.ops.common import MASK_SCORE, NO_HIT, as_distance, dedup_topk
 from lotus_tpu.ops.flat import flat_search
 
 QU = 128     # query lanes per unit
@@ -323,24 +323,10 @@ def _grouped_probe_pallas(
     top_i = row_ids[top_rows]
     top_i = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_i)
 
-    grp = jnp.argsort(top_i, axis=1, stable=True)  # groups ids; keeps score order inside
-    gi = jnp.take_along_axis(top_i, grp, axis=1)
-    gs = jnp.take_along_axis(top_s, grp, axis=1)
-    prev = jnp.concatenate([jnp.full((b, 1), -2, gi.dtype), gi[:, :-1]], axis=1)
-    dup = (gi == prev) & (gi != NO_HIT)
-    gs = jnp.where(dup, MASK_SCORE, gs)
-    gi = jnp.where(dup, NO_HIT, gi)
-
-    k_fin = min(k, k_out)
-    top_s, pos2 = jax.lax.top_k(gs, k_fin)
-    top_i = jnp.take_along_axis(gi, pos2, axis=1)
+    top_s, top_i = dedup_topk(top_s, top_i, k)
     if q_scales is not None and probe_bias is None:
         # Per-query dequantization constant; rank-neutral, so applied last.
         top_s = jnp.where(top_i == NO_HIT, top_s, top_s * q_scales[:, None])
-    if k_fin < k:
-        padn = k - k_fin
-        top_s = jnp.concatenate([top_s, jnp.full((b, padn), MASK_SCORE)], axis=1)
-        top_i = jnp.concatenate([top_i, jnp.full((b, padn), NO_HIT, jnp.int32)], axis=1)
     return top_s, top_i
 
 
@@ -374,7 +360,7 @@ def ivf_search_pallas(
     window = int(meta["probe_window"])
     nprobe = max(1, min(nprobe, nlist))
     max_blocks = max(1, window // BL)
-    residual = meta.get("encoding") == "residual_int8"
+    residual = meta.get("encoding") == "residual_int8" and state["ivf_vectors"].dtype == jnp.int8
     if residual and metric == "l2":
         raise ValueError("residual_int8 stores support ip/cosine only")
 

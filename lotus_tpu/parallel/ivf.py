@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lotus_tpu.ops.common import MASK_SCORE, NO_HIT, as_distance, round_up
+from lotus_tpu.ops.common import MASK_SCORE, NO_HIT, as_distance, dedup_topk, round_up
 from lotus_tpu.ops.flat import flat_search
 from lotus_tpu.parallel.mesh import SHARD_AXIS
 
@@ -154,25 +154,31 @@ def sharded_ivf_search_pallas(
     has_scales = "scales" in sharded
     has_norms = "norms" in sharded
 
+    residual = meta.get("encoding") == "residual_int8" and sharded["vecs"].dtype == jnp.int8
+
     def local_probe(vecs, row_ids, list_start, owned, xq_rep, *extra):
         vecs, row_ids, list_start, owned = vecs[0], row_ids[0], list_start[0], owned[0]
         scales = extra[0][0] if has_scales else None
         shard_norms = extra[-1][0] if has_norms else None
 
-        _, probe_lists = flat_search(centroids, xq_rep, nprobe, metric=metric)
+        coarse_s, probe_lists = flat_search(centroids, xq_rep, nprobe, metric=metric)
         top_s, top_ids = _grouped_probe_pallas(
             centroids, vecs, row_ids, list_start, list_size,
             xq_rep, scales, shard_norms if metric == "l2" else None,
             k, nprobe, max_blocks, metric, interpret, False,
             owned=owned, probe_lists=probe_lists,
+            probe_bias=coarse_s if residual else None,
         )
 
         all_s = jax.lax.all_gather(top_s, axis_name, axis=0)  # (n_dev, B, k)
         all_i = jax.lax.all_gather(top_ids, axis_name, axis=0)
         cand_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_dev * k)
         cand_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_dev * k)
-        merged_s, pos = jax.lax.top_k(cand_s, k)
-        return merged_s, jnp.take_along_axis(cand_i, pos, axis=1)
+        # The merge is score-sorted first so dedup keeps each id's best copy
+        # (spilled rows can surface from two shards).
+        merged_s, pos = jax.lax.top_k(cand_s, min(2 * k, n_dev * k))
+        merged_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        return dedup_topk(merged_s, merged_i, k)
 
     in_specs = [
         P(axis_name, None, None), P(axis_name, None),
@@ -231,11 +237,13 @@ def sharded_ivf_search(
     has_scales = "scales" in sharded
     has_norms = "norms" in sharded
 
+    residual = meta.get("encoding") == "residual_int8" and sharded["vecs"].dtype == jnp.int8
+
     def local_probe(vecs, row_ids, list_start, owned, xq_rep, *extra):
         vecs, row_ids, list_start, owned = vecs[0], row_ids[0], list_start[0], owned[0]
         scales = extra[0][0] if has_scales else None
         shard_norms = extra[-1][0] if has_norms else None
-        _, probe_lists = flat_search(centroids, xq_rep, nprobe, metric=metric)
+        coarse_s, probe_lists = flat_search(centroids, xq_rep, nprobe, metric=metric)
 
         starts = list_start[probe_lists]  # (B, nprobe) local offsets
         sizes = list_size[probe_lists]
@@ -255,27 +263,28 @@ def sharded_ivf_search(
         )
         if scales is not None:
             sims = sims * scales[rows_flat]
+        if residual:
+            # Residual store: add the exact q.c term of each probe slot.
+            sims = (sims.reshape(b, nprobe, window) + coarse_s[:, :, None]).reshape(b, -1)
         if metric == "l2":
             norms = shard_norms if shard_norms is not None else jnp.sum(
                 jnp.square(vecs.astype(jnp.float32)), axis=-1
             )
             sims = 2.0 * sims - norms[rows_flat]
         scores = jnp.where(in_list.reshape(b, nprobe * window), sims, MASK_SCORE)
-        kc = min(k, nprobe * window)
+        kc = min(2 * k, nprobe * window)
         top_s, pos = jax.lax.top_k(scores, kc)
         top_ids = row_ids[jnp.take_along_axis(rows_flat, pos, axis=1)]
         top_ids = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_ids)
-        if kc < k:
-            padn = k - kc
-            top_s = jnp.concatenate([top_s, jnp.full((b, padn), MASK_SCORE)], axis=1)
-            top_ids = jnp.concatenate([top_ids, jnp.full((b, padn), NO_HIT, jnp.int32)], axis=1)
+        top_s, top_ids = dedup_topk(top_s, top_ids, k)
 
         all_s = jax.lax.all_gather(top_s, axis_name, axis=0)  # (n_dev, B, k)
         all_i = jax.lax.all_gather(top_ids, axis_name, axis=0)
         cand_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_dev * k)
         cand_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_dev * k)
-        fs, pos2 = jax.lax.top_k(cand_s, k)
-        return fs, jnp.take_along_axis(cand_i, pos2, axis=1)
+        fs, pos2 = jax.lax.top_k(cand_s, min(2 * k, n_dev * k))
+        fi = jnp.take_along_axis(cand_i, pos2, axis=1)
+        return dedup_topk(fs, fi, k)
 
     in_specs = [
         P(axis_name, None, None), P(axis_name, None),

@@ -62,10 +62,14 @@ class TpuVS(VS):
         mesh: Optional[Any] = None,
         approx: bool = False,
         block_rows: int = DEFAULT_BLOCK_ROWS,
+        int8_encoding: str = "residual",
+        spill_frac: float = 0.0,
     ) -> None:
         super().__init__()
         if index_type not in ("flat", "ivf"):
             raise ValueError(f"index_type must be 'flat' or 'ivf', got {index_type!r}")
+        if int8_encoding not in ("residual", "plain"):
+            raise ValueError(f"int8_encoding must be 'residual' or 'plain', got {int8_encoding!r}")
         self.index_type = index_type
         self.metric = metric
         self.device_dtype = device_dtype
@@ -74,6 +78,12 @@ class TpuVS(VS):
         self.mesh = mesh
         self.approx = approx
         self.block_rows = block_rows
+        # int8 IVF stores: quantize (vec - list centroid) residuals and add
+        # the exact q.c term back at probe time (~4x smaller int8 step).
+        self.int8_encoding = int8_encoding
+        # Fraction of rows replicated into their 2nd-nearest list (SOAR-style
+        # boundary spill; probes dedup by row id).
+        self.spill_frac = spill_frac
         self.index_dir: str | None = None
         # Device-resident state for the currently loaded index.
         self._state: dict[str, Any] | None = None
@@ -118,9 +128,12 @@ class TpuVS(VS):
             # probe, the fastest large-batch path (docs/benchmarks.md).
             block_align = _PALLAS_BL if emb.shape[0] >= _PALLAS_BL * nlist else None
             ivf_meta = build_ivf(
-                index_dir, emb, nlist=nlist, metric=self.metric, block_align=block_align
+                index_dir, emb, nlist=nlist, metric=self.metric, block_align=block_align,
+                spill_frac=self.spill_frac if block_align else 0.0,
             )
             meta.update(ivf_meta)
+            if self.device_dtype == "int8" and self.int8_encoding == "residual" and self.metric != "l2":
+                meta["encoding"] = "residual_int8"
         index_io.write_meta(index_dir, meta)
         self.index_dir = index_dir
         self._state = None  # lazily materialized on first search
@@ -242,6 +255,21 @@ class TpuVS(VS):
         sub_scales = jnp.take(scales, storage_rows, axis=0) if scales is not None else None
         norms = state.get("ivf_norms_sq")
         sub_norms = jnp.take(norms, storage_rows, axis=0) if norms is not None else None
+        if meta.get("encoding") == "residual_int8" and subset.dtype == jnp.int8:
+            # Residual store: reconstruct f32 rows (residual * scale + list
+            # centroid) for the exact subset scan — O(|ids| x d) only.
+            if "ivf_pos_list" not in state:
+                from lotus_tpu.ops.ivf import centroid_of_position
+
+                starts = np.asarray(state["ivf_list_start"])
+                state["ivf_pos_list"] = jnp.asarray(
+                    centroid_of_position(starts, int(state["ivf_vectors"].shape[0]))
+                )
+            lists_of_rows = jnp.take(state["ivf_pos_list"], storage_rows, axis=0)
+            subset = subset.astype(jnp.float32) * sub_scales[:, None] + jnp.take(
+                state["centroids"], lists_of_rows, axis=0
+            )
+            sub_scales = None
 
         dists, pos = flat_search(
             subset, xq, min(k, m),

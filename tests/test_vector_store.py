@@ -242,3 +242,41 @@ def test_grouped_probe_l2(tmp_path):
     np.testing.assert_allclose(
         np.sort(np.asarray(d_grp), axis=1), np.sort(np.asarray(d_ref), axis=1), rtol=1e-3, atol=1e-3
     )
+
+
+def test_ivf_residual_spill_clustered(tmp_path):
+    """Residual int8 + boundary spill on clustered data through TpuVS."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((24, 64)).astype(np.float32)
+    emb = centers[rng.integers(0, 24, 4000)] * 2.5 + rng.standard_normal((4000, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[rng.integers(0, 4000, 24)] + 0.05 * rng.standard_normal((24, 64)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    from lotus_tpu.ops import io as index_io
+    from lotus_tpu.ops.ivf import build_ivf, ivf_search, load_ivf_state
+
+    import jax.numpy as jnp
+
+    meta = build_ivf(str(tmp_path / "ix"), emb, nlist=24, metric="ip", block_align=512, spill_frac=0.2)
+    index_io.write_meta(str(tmp_path / "ix"), {**meta, "metric": "ip", "encoding": "residual_int8"})
+    meta_full = index_io.read_meta(str(tmp_path / "ix"))
+    state = load_ivf_state(str(tmp_path / "ix"), meta_full, jnp.int8)
+    state.setdefault("meta", meta_full)
+    # Residual must engage on clustered data (no plain-int8 fallback).
+    assert state["meta"].get("encoding") == "residual_int8"
+    # Spilled entries present, each row stored once or twice.
+    rid = np.asarray(state["ivf_row_ids"])
+    counts = np.bincount(rid[rid >= 0], minlength=4000)
+    assert counts.min() >= 1 and counts.max() == 2 and (counts == 2).sum() > 0
+
+    dists, idx = ivf_search(state, jnp.asarray(queries), 5, nprobe=24, metric="ip")
+    got = np.asarray(idx)
+    # Full probe: compare against the exact f32 oracle; residual int8 noise
+    # is tiny, and dedup must keep results duplicate-free.
+    gt = np.argsort(-(queries @ emb.T), axis=1)[:, :5]
+    for r in range(len(got)):
+        ids = [v for v in got[r] if v >= 0]
+        assert len(ids) == len(set(ids))
+    recall = np.mean([len(set(got[r]) & set(gt[r])) / 5 for r in range(len(gt))])
+    assert recall >= 0.95, recall

@@ -68,7 +68,7 @@ def main() -> None:
 
     on_tpu = jax.devices()[0].platform != "cpu"
     scale_cfg = (
-        dict(n=10 * 2**20, d=768, nlist=4096, n_clusters=65536, chunk=2**19, queries_b=B)
+        dict(n=10 * 2**20, d=768, nlist=4096, n_clusters=65536, chunk=2**18, queries_b=B)
         if on_tpu
         else dict(n=2**15, d=64, nlist=64, n_clusters=48, chunk=2**13, queries_b=256)
     )
@@ -84,7 +84,7 @@ def main() -> None:
     nprobe = min(NPROBE, scale_cfg["nlist"])
 
     def search(q):
-        return ivf_search_pallas(state, q, K, nprobe=nprobe, metric="ip", interpret=not on_tpu)
+        return ivf_search_pallas(state, q, K, nprobe=nprobe, metric="ip", interpret=not on_tpu, rescore=32, query_chunk=1024 if on_tpu else None)
 
     from lotus_tpu.ops.common import fetch_int32
 
@@ -125,7 +125,7 @@ def main() -> None:
                 "cpu_model_qps_50gflops": round(cpu_qps, 1),
                 "cpu_host_measured_qps": round(host_qps, 2),
                 "build_vecs_per_s": round(built["build_vecs_per_s"], 1),
-                "storage": "residual int8 + per-row scales",
+                "storage": "residual int8 + int4 refinement, exact top-32 rescoring",
             }
         )
     )

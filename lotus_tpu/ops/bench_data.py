@@ -56,6 +56,42 @@ def _quantize_rows(x: jnp.ndarray):
     return q, scale
 
 
+@jax.jit
+def _quantize_with_refinement(x: jnp.ndarray):
+    """int8 + packed-int4 refinement of the int8 residual (0.5 byte/dim)."""
+    from lotus_tpu.ops.quant import quantize_refinement_int4
+
+    q, scale = _quantize_rows(x)
+    r2 = x - q.astype(jnp.float32) * scale[:, None]
+    packed, s4 = quantize_refinement_int4(r2)
+    return q, scale, packed, s4
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3), static_argnames=("residual", "refine"))
+def _pack_slice(
+    buf: jnp.ndarray, scale_buf: jnp.ndarray, rbuf: jnp.ndarray, rs_buf: jnp.ndarray,
+    part: jnp.ndarray, dest: jnp.ndarray, a_dev: jnp.ndarray, centroids: jnp.ndarray,
+    row_base: jnp.ndarray, residual: bool, refine: bool,
+):
+    """Residual-subtract, quantize (int8 + optional int4 refinement), and
+    scatter one slice — one XLA program with every buffer donated, so the
+    allocator never holds two copies of the big CSR arrays.  The refinement
+    is written CONTIGUOUSLY at [row_base, row_base + rows) (row-id keyed)."""
+    if residual:
+        part = part - jnp.take(centroids, a_dev, axis=0)
+    q8, sc = _quantize_rows(part)
+    buf = buf.at[dest].set(q8)
+    scale_buf = scale_buf.at[dest].set(sc)
+    if refine:
+        from lotus_tpu.ops.quant import quantize_refinement_int4
+
+        r2 = part - q8.astype(jnp.float32) * sc[:, None]
+        r4, s4 = quantize_refinement_int4(r2)
+        rbuf = jax.lax.dynamic_update_slice_in_dim(rbuf, r4, row_base, axis=0)
+        rs_buf = jax.lax.dynamic_update_slice_in_dim(rs_buf, s4, row_base, axis=0)
+    return buf, scale_buf, rbuf, rs_buf
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _gt_merge(best_s: jnp.ndarray, best_i: jnp.ndarray, q: jnp.ndarray, x: jnp.ndarray, base: jnp.ndarray, k: int):
     """Fold one chunk into the running exact-f32 top-k (the oracle)."""
@@ -118,7 +154,8 @@ def synth_ivf_device_build(
     seed: int = 0,
     kmeans_iters: int = 10,
     encoding: str = "residual_int8",
-    spill_frac: float = 0.15,
+    spill_frac: float = 0.0,
+    refine: bool = True,
     train_chunks: int = 2,
     log: Any = None,
 ) -> dict[str, Any]:
@@ -222,26 +259,31 @@ def synth_ivf_device_build(
     dummy_pos = total - 1  # inside the never-probed window tail
     buf = jnp.zeros((total, d), jnp.int8)
     scale_buf = jnp.ones((total,), jnp.float32)
+    # Refinement is keyed by ORIGINAL row id (not storage position): one
+    # entry per logical row regardless of spill, written contiguously.
+    rbuf = jnp.zeros((n, d // 2) if refine else (1, 1), jnp.int8)
+    rs_buf = jnp.zeros((n,) if refine else (1,), jnp.float32)
     residual = encoding == "residual_int8"
     # Static per-chunk spill capacity so the scatter compiles once.
     spill_cap = max(1, int(chunk * max(spill_frac, 0.01) * 1.5))
-    # Quantize+scatter in half-chunks: with the ~9 GB CSR buffer resident,
-    # the residual path's gathered-centroid temporaries must stay small.
-    half = chunk // 2
+    # Quantize+scatter in quarter-chunks: with the ~8.5 GB CSR buffer and
+    # the ~4.2 GB refinement buffer resident, the residual path's
+    # gathered-centroid and r2 temporaries must stay small.
+    quarter = chunk // 4
     for c in range(n_chunks):
         x = _gen_chunk(chunk_keys[c], centers, chunk, d, n_clusters, cluster_scale)
-        for lo in (0, half):
-            part = x[lo : lo + half]
-            if residual:
-                # Store residuals: ~4x smaller per-row maxabs than raw
-                # vectors on clustered data, so the int8 step (and its
-                # dot-product noise) shrinks by the same factor.  The probe
-                # adds the exact f32 coarse term q.c back per probed list.
-                a_dev = jnp.asarray(assign[c * chunk + lo : c * chunk + lo + half])
-                part = part - jnp.take(centroids, a_dev, axis=0)
-            q8, sc = _quantize_rows(part)
-            dest_c = jnp.asarray(primary_dest[c * chunk + lo : c * chunk + lo + half])
-            buf, scale_buf = _scatter_rows(buf, scale_buf, dest_c, q8, sc)
+        for lo in range(0, chunk, quarter):
+            # Residuals: ~4x smaller per-row maxabs than raw vectors on
+            # clustered data, so the int8 step (and its dot-product noise)
+            # shrinks by the same factor.  The probe adds the exact f32
+            # coarse term q.c back per probed list.
+            sl = slice(c * chunk + lo, c * chunk + lo + quarter)
+            buf, scale_buf, rbuf, rs_buf = _pack_slice(
+                buf, scale_buf, rbuf, rs_buf,
+                x[lo : lo + quarter], jnp.asarray(primary_dest[sl]),
+                jnp.asarray(assign[sl]), centroids, jnp.int32(c * chunk + lo),
+                residual, refine,
+            )
         if spill_rows.size:
             in_c = (spill_rows >= c * chunk) & (spill_rows < (c + 1) * chunk)
             loc = spill_rows[in_c] - c * chunk
@@ -257,8 +299,11 @@ def synth_ivf_device_build(
             part = x[jnp.asarray(loc_pad)]
             if residual:
                 part = part - jnp.take(centroids, jnp.asarray(a2_pad), axis=0)
-            q8, sc = _quantize_rows(part)
-            buf, scale_buf = _scatter_rows(buf, scale_buf, jnp.asarray(sd_pad), q8, sc)
+            buf, scale_buf, rbuf, rs_buf = _pack_slice(
+                buf, scale_buf, rbuf, rs_buf,
+                part, jnp.asarray(sd_pad), jnp.asarray(a2_pad), centroids, jnp.int32(0),
+                False, False,  # spill copies carry no refinement entry
+            )
         say(f"pass2: chunk {c + 1}/{n_chunks} packed")
     buf.block_until_ready()
     timings["pack_s"] = time.perf_counter() - t0
@@ -272,6 +317,7 @@ def synth_ivf_device_build(
         "metric": "ip",
         "encoding": encoding,
         "spill_frac": spill_frac,
+        "refine": bool(refine),
         "n": n,
         "d": d,
         "seed": seed,
@@ -285,6 +331,12 @@ def synth_ivf_device_build(
         "ivf_list_start": jnp.asarray(plan["list_start"]),
         "ivf_list_size": jnp.asarray(plan["list_size"]),
     }
+    if refine:
+        state["ivf_refine"] = rbuf
+        state["ivf_refine_scales"] = rs_buf
+    # inv_perm points every row at its PRIMARY copy (the one refinement
+    # refines); spill copies are never the rescore source.
+    state["ivf_inv_perm"] = jnp.asarray(primary_dest.astype(np.int32))
     build_s = timings["train_s"] + timings["scan_s"] + timings["plan_s"] + timings["pack_s"]
     return {
         "state": state,

@@ -16,14 +16,18 @@ MASK_SCORE = -3.0e38
 METRICS = ("ip", "cosine", "l2")
 
 
-def dedup_topk(scores: jnp.ndarray, ids: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+def dedup_topk(
+    scores: jnp.ndarray, ids: jnp.ndarray, k: int, aux: jnp.ndarray | None = None
+):
     """Top-k of (scores, ids) rows with duplicate ids collapsed to their
     best-scored copy.
 
     Used wherever spilled (replicated-assignment) rows can reach a candidate
     pool through more than one list or shard.  Input columns should already
-    be a small pool (e.g. 2k head-room); the argsort is per-row over that
-    pool only.  Masked entries are ``NO_HIT`` ids with ``MASK_SCORE`` scores.
+    be a small, score-descending pool (e.g. top_k output with 2k head-room);
+    the argsort is per-row over that pool only.  Masked entries are
+    ``NO_HIT`` ids with ``MASK_SCORE`` scores.  ``aux`` (e.g. storage
+    positions) is permuted alongside and returned as a third output.
     """
     import jax
 
@@ -31,6 +35,7 @@ def dedup_topk(scores: jnp.ndarray, ids: jnp.ndarray, k: int) -> tuple[jnp.ndarr
     grp = jnp.argsort(ids, axis=1, stable=True)  # group ids; keep score order inside
     gi = jnp.take_along_axis(ids, grp, axis=1)
     gs = jnp.take_along_axis(scores, grp, axis=1)
+    ga = jnp.take_along_axis(aux, grp, axis=1) if aux is not None else None
     prev = jnp.concatenate([jnp.full((b, 1), -2, gi.dtype), gi[:, :-1]], axis=1)
     dup = (gi == prev) & (gi != NO_HIT)
     gs = jnp.where(dup, MASK_SCORE, gs)
@@ -38,10 +43,15 @@ def dedup_topk(scores: jnp.ndarray, ids: jnp.ndarray, k: int) -> tuple[jnp.ndarr
     k_fin = min(k, scores.shape[1])
     top_s, pos = jax.lax.top_k(gs, k_fin)
     top_i = jnp.take_along_axis(gi, pos, axis=1)
+    top_a = jnp.take_along_axis(ga, pos, axis=1) if ga is not None else None
     if k_fin < k:
         padn = k - k_fin
         top_s = jnp.concatenate([top_s, jnp.full((b, padn), MASK_SCORE, top_s.dtype)], axis=1)
         top_i = jnp.concatenate([top_i, jnp.full((b, padn), NO_HIT, top_i.dtype)], axis=1)
+        if top_a is not None:
+            top_a = jnp.concatenate([top_a, jnp.zeros((b, padn), top_a.dtype)], axis=1)
+    if aux is not None:
+        return top_s, top_i, top_a
     return top_s, top_i
 
 

@@ -202,6 +202,87 @@ def centroid_of_position(list_start: np.ndarray, total_rows: int) -> np.ndarray:
     return (np.searchsorted(list_start, pos, side="right") - 1).clip(0).astype(np.int32)
 
 
+def ensure_inv_perm(state: dict[str, Any]) -> jnp.ndarray:
+    """original-row-id -> one storage position (cached in the state)."""
+    if "ivf_inv_perm" not in state:
+        storage_ids = np.asarray(state["ivf_row_ids"])
+        live = storage_ids >= 0
+        n_rows = int(storage_ids[live].max()) + 1 if live.any() else 0
+        inv = np.zeros(max(n_rows, 1), np.int32)
+        inv[storage_ids[live]] = np.nonzero(live)[0].astype(np.int32)
+        state["ivf_inv_perm"] = jnp.asarray(inv)
+    return state["ivf_inv_perm"]
+
+
+def ensure_pos_list(state: dict[str, Any]) -> jnp.ndarray:
+    """storage position -> owning list id (cached in the state)."""
+    if "ivf_pos_list" not in state:
+        starts = np.asarray(state["ivf_list_start"])
+        state["ivf_pos_list"] = jnp.asarray(
+            centroid_of_position(starts, int(state["ivf_vectors"].shape[0]))
+        )
+    return state["ivf_pos_list"]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "residual"))
+def _rescore_impl(
+    xq: jnp.ndarray,
+    cand_i: jnp.ndarray,
+    cand_rows: jnp.ndarray,
+    vecs: jnp.ndarray,
+    scales: jnp.ndarray,
+    refine: jnp.ndarray | None,
+    refine_scales: jnp.ndarray | None,
+    pos_list: jnp.ndarray | None,
+    centroids: jnp.ndarray | None,
+    k: int,
+    residual: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact f32 rescoring of a small candidate set (ip/cosine).
+
+    Reconstructs each candidate from its int8 (+optional packed-int4
+    refinement) storage and rescans with full-precision queries, then
+    re-ranks.  Kills the quantization rank flips that cap recall@k when
+    rank-boundary score gaps approach the int8 noise (measured: 10M x 768
+    residual-int8 plateaus at 0.965 recall@10 while 0.992 of true top-10
+    sit within the probe's top-20).
+    """
+    v = vecs[cand_rows].astype(jnp.float32) * scales[cand_rows][..., None]
+    if refine is not None:
+        from lotus_tpu.ops.quant import unpack_int4
+
+        # Refinement is keyed by ORIGINAL row id (one entry per logical row,
+        # no duplication for spilled copies); it refines the PRIMARY copy's
+        # residual, which is the copy inv_perm points at.
+        rid = jnp.maximum(cand_i, 0)
+        v = v + unpack_int4(refine[rid]).astype(jnp.float32) * refine_scales[rid][..., None]
+    if residual:
+        v = v + centroids[pos_list[cand_rows]]
+    s = jnp.einsum(
+        "qd,qmd->qm", xq, v, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )
+    s = jnp.where(cand_i == NO_HIT, MASK_SCORE, s)
+    top_s, pos = jax.lax.top_k(s, min(k, s.shape[1]))
+    return top_s, jnp.take_along_axis(cand_i, pos, axis=1)
+
+
+def rescore_candidates(
+    state: dict[str, Any], xq: jnp.ndarray, cand_i: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact-rescore probe candidates (original row ids) down to top-k."""
+    residual = state["meta"].get("encoding") == "residual_int8"
+    inv = ensure_inv_perm(state)
+    rows = jnp.take(inv, jnp.maximum(cand_i, 0), axis=0)
+    return _rescore_impl(
+        xq.astype(jnp.float32), cand_i, rows,
+        state["ivf_vectors"], state["ivf_row_scales"],
+        state.get("ivf_refine"), state.get("ivf_refine_scales"),
+        ensure_pos_list(state) if residual else None,
+        state["centroids"] if residual else None,
+        k, residual,
+    )
+
+
 def load_ivf_state(index_dir: str, meta: dict[str, Any], dtype: Any) -> dict[str, Any]:
     state: dict[str, Any] = {
         "centroids": jnp.asarray(index_io.read_array(index_dir, "ivf_centroids", mmap=False)),

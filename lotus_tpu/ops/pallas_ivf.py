@@ -39,11 +39,14 @@ QU = 128     # query lanes per unit
 BL = 512     # db rows per block (index must be built with block_align=BL)
 # Rows per emitted candidate.  IVF candidate pools are small (nprobe lists,
 # not the whole DB), so the bucket must be much finer than the flat kernel's
-# 128: expected recall loss is ~C(k,2)*BUCKET/rows_of_the_winning_lists.
-BUCKET = 8   # -> nbk = 64 candidates per (query, block)
+# 128.  With the exact-rescoring stage downstream, the bucket only needs to
+# DELIVER candidates, not rank them: top-2 of 16 keeps pair-collision loss
+# negligible while halving the kernel's (u_max, QU, 2*nbk) output arrays —
+# the dominant probe memory at 10M rows (u_max ~ rows/BL).
+BUCKET = 16  # -> nbk = 32, 64 candidates per (query, block)
 
 
-def _bucket_top2_write(get_slice, base, out_s_ref, out_i_ref):
+def _bucket_top2_write(get_slice, _unused, out_s_ref, out_i_ref):
     """Reduce BUCKET slices of (QU, nbk) scores to per-bucket (top-2, arg).
 
     Buckets are STRIDED (bucket b = cols {b + j*nbk}), so the reduction is a
@@ -68,11 +71,13 @@ def _bucket_top2_write(get_slice, base, out_s_ref, out_i_ref):
         best_s = jnp.where(upd, sl, best_s)
         best_j = jnp.where(upd, j, best_j)
     lane = jax.lax.broadcasted_iota(jnp.int32, (QU, nbk), 1)
-    # (QU, 2*nbk) = (128, 128): legal output tile, no in-kernel transpose.
+    # Indices are BLOCK-LOCAL (< BL, int16): the router adds btab[u]*BL back.
+    # Emitting int32 globals would double the (u_max, QU, 2*nbk) index
+    # array — the dominant probe memory at 10M rows (u_max ~ rows/BL).
     out_s_ref[0] = jnp.concatenate([best_s, sec_s], axis=1)
     out_i_ref[0] = jnp.concatenate(
-        [base + best_j * nbk + lane, base + sec_j * nbk + lane], axis=1
-    )
+        [best_j * nbk + lane, sec_j * nbk + lane], axis=1
+    ).astype(jnp.int16)
 
 
 def _slice_mask(j, vcount):
@@ -122,7 +127,7 @@ def _probe_kernel(qtab_ref, btab_ref, vtab_ref, xq_ref, xb_ref, *rest, int8_dot,
             sl = 2.0 * sl - nm_ref[0, j][None, :]
         return jnp.where(_slice_mask(j, vcount), sl, MASK_SCORE)
 
-    _bucket_top2_write(get_slice, btab_ref[u] * BL, out_s_ref, out_i_ref)
+    _bucket_top2_write(get_slice, None, out_s_ref, out_i_ref)
 
 
 @functools.partial(
@@ -269,7 +274,7 @@ def _grouped_probe_pallas(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((u_max, QU, ncand), jnp.float32),
-            jax.ShapeDtypeStruct((u_max, QU, ncand), jnp.int32),
+            jax.ShapeDtypeStruct((u_max, QU, ncand), jnp.int16),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * u_max * QU * BL * d,
@@ -293,7 +298,10 @@ def _grouped_probe_pallas(
     flat_s = cand_s.reshape(u_max * QU, ncand)
     flat_i = cand_i.reshape(u_max * QU, ncand)
     pool_s = flat_s[rowsel]                               # (P, mb, ncand)
-    pool_i = flat_i[rowsel]
+    pool_i = flat_i[rowsel].astype(jnp.int32)
+    # Globalize the block-local int16 indices: block start = btab[unit]*BL.
+    pool_base = jnp.maximum(btab[jnp.maximum(usel, 0)], 0) * BL
+    pool_i = pool_i + pool_base[:, :, None]
     pool_s = jnp.where(usel[:, :, None] >= 0, pool_s, MASK_SCORE)
     pool_s = pool_s.reshape(p, max_blocks * ncand)
     pool_i = pool_i.reshape(p, max_blocks * ncand)
@@ -340,6 +348,7 @@ def ivf_search_pallas(
     interpret: bool = False,
     int8_queries: bool = False,
     query_chunk: int | None = None,
+    rescore: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Grouped IVF probe via the Pallas block-DMA kernel (ip/cosine/l2).
 
@@ -352,6 +361,11 @@ def ivf_search_pallas(
 
     ``query_chunk`` bounds the candidate-pool memory (which grows with
     b * nprobe) by probing the batch in slices.
+
+    ``rescore`` widens the probe to that many candidates and exactly
+    re-ranks them with f32 queries over reconstructed rows (int8 plus the
+    packed-int4 refinement when the store carries one) — removing the
+    quantization rank flips at the top-k boundary.
     """
     meta = state["meta"]
     if int(meta.get("block_align", 0)) != BL:
@@ -373,7 +387,7 @@ def ivf_search_pallas(
         parts = [
             ivf_search_pallas(
                 state, xq[lo : lo + query_chunk], k, nprobe=nprobe, metric=metric,
-                interpret=interpret, int8_queries=int8_queries,
+                interpret=interpret, int8_queries=int8_queries, rescore=rescore,
             )
             for lo in range(0, xq.shape[0], query_chunk)
         ]
@@ -391,6 +405,8 @@ def ivf_search_pallas(
     if residual:
         coarse_sim, probe_lists = flat_search(state["centroids"], xq, nprobe, metric=metric)
         probe_bias = coarse_sim  # ip/cosine: distances ARE similarities
+    do_rescore = rescore is not None and metric != "l2"
+    k_probe = max(k, rescore) if do_rescore else k
     scores, idx = _grouped_probe_pallas(
         state["centroids"],
         vecs,
@@ -400,7 +416,7 @@ def ivf_search_pallas(
         xq,
         state.get("ivf_row_scales"),
         state.get("ivf_norms_sq") if metric == "l2" else None,
-        k,
+        k_probe,
         nprobe,
         max_blocks,
         metric,
@@ -409,6 +425,10 @@ def ivf_search_pallas(
         probe_lists=probe_lists,
         probe_bias=probe_bias,
     )
+    if do_rescore:
+        from lotus_tpu.ops.ivf import rescore_candidates
+
+        scores, idx = rescore_candidates(state, xq, idx, k)
     dists = as_distance(scores, metric)
     if metric == "l2":
         q_norms = jnp.sum(jnp.square(xq), axis=-1, keepdims=True)

@@ -16,25 +16,28 @@ from lotus_tpu.ops.common import fetch_int32
 from lotus_tpu.ops.pallas_ivf import ivf_search_pallas
 
 built = synth_ivf_device_build(n=10 * 2**20, d=768, nlist=4096, n_clusters=65536,
-                               chunk=2**19, queries_b=4096, gt_queries=256, k=10,
+                               chunk=2**18, queries_b=4096, gt_queries=256, k=10, spill_frac=0.0,
                                seed=0, log=lambda m: print(m, flush=True))
 state, xq, gt = built["state"], built["queries"], built["gt"]
 xq_dev = jnp.asarray(xq, jnp.float32)
 K = 10
 
-def recall_at(nprobe, qc=None):
-    d_, i_ = ivf_search_pallas(state, xq_dev, K, nprobe=nprobe, metric="ip", query_chunk=qc)
+def recall_at(nprobe, qc=None, rescore=32, i8=False):
+    d_, i_ = ivf_search_pallas(state, xq_dev, K, nprobe=nprobe, metric="ip", query_chunk=qc, rescore=rescore, int8_queries=i8)
     got = fetch_int32(i_)[: gt.shape[0]]
     rec = float(np.mean([len(set(got[i]) & set(gt[i])) / K for i in range(gt.shape[0])]))
     # quick chained timing (3 iters is enough for a sweep)
     t0 = time.perf_counter()
     q = xq_dev
     for _ in range(3):
-        dd, _ = ivf_search_pallas(state, q, K, nprobe=nprobe, metric="ip", query_chunk=qc)
+        dd, _ = ivf_search_pallas(state, q, K, nprobe=nprobe, metric="ip", query_chunk=qc, rescore=rescore, int8_queries=i8)
         q = xq_dev + 0.0 * dd[:, :1]
     float(np.asarray(dd[0, 0]))
     qps = 4096 / ((time.perf_counter() - t0) / 3)
-    print(f"nprobe={nprobe}: recall={rec:.4f} qps={qps:,.0f}", flush=True)
+    print(f"nprobe={nprobe} rescore={rescore} i8={i8}: recall={rec:.4f} qps={qps:,.0f}", flush=True)
 
-for np_, qc in ((8, None), (16, None), (32, None), (64, 2048), (128, 1024)):
-    recall_at(np_, qc)
+recall_at(64, 512, i8=True)
+recall_at(64, 512, rescore=64, i8=True)
+recall_at(128, 512, rescore=64, i8=True)
+recall_at(256, 256, i8=True)
+recall_at(96, 512, rescore=64, i8=True)

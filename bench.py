@@ -27,7 +27,7 @@ import time
 import numpy as np
 
 K = 10
-NPROBE = int(os.getenv("BENCH_NPROBE", "32"))
+NPROBE = int(os.getenv("BENCH_NPROBE", "256"))
 B = 4096
 
 
@@ -84,7 +84,7 @@ def main() -> None:
     nprobe = min(NPROBE, scale_cfg["nlist"])
 
     def search(q):
-        return ivf_search_pallas(state, q, K, nprobe=nprobe, metric="ip", interpret=not on_tpu, rescore=32, query_chunk=1024 if on_tpu else None)
+        return ivf_search_pallas(state, q, K, nprobe=nprobe, metric="ip", interpret=not on_tpu, rescore=32, int8_queries=on_tpu, query_chunk=256 if on_tpu else None)
 
     from lotus_tpu.ops.common import fetch_int32
 

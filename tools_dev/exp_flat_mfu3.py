@@ -1,0 +1,73 @@
+"""MFU probe #3 (on-device data): where do the flat-scan FLOPs go?
+
+(a) pure matmul+max = the compute ceiling at the scan shape
+(b) matmul + approx_max_k (the production path) at several block sizes
+(c) int8 x int8 scan rate
+"""
+import time
+
+import jax
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+from lotus_tpu.ops.flat import flat_search
+from lotus_tpu.ops.quant import quantize_rows
+
+N, D, B, K = 1 << 20, 768, 4096, 10
+key = jax.random.PRNGKey(0)
+xb32 = jax.random.normal(key, (N, D), jnp.float32)
+xb32 = xb32 / jnp.linalg.norm(xb32, axis=1, keepdims=True)
+xq32 = xb32[:B] + 0.05 * jax.random.normal(jax.random.PRNGKey(1), (B, D), jnp.float32)
+xq32 = xq32 / jnp.linalg.norm(xq32, axis=1, keepdims=True)
+xb16 = xb32.astype(jnp.bfloat16)
+xq16 = xq32.astype(jnp.bfloat16)
+q8, q8s = quantize_rows(xq32)
+xb8, xb8s = quantize_rows(xb32)
+xb8.block_until_ready()
+
+def timeit(fn, label, peak_tf=394.0):
+    out = fn()
+    jax.block_until_ready(out)
+    ITERS = 8
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(ITERS):
+            o = fn()
+        jax.block_until_ready(o)
+        best = min(best, (time.perf_counter() - t0) / ITERS)
+    qps = B / best
+    tf = qps * N * D * 2 / 1e12
+    print(f"{label}: qps={qps:,.0f} mxu={tf:.0f} TF/s ({tf/peak_tf*100:.0f}% of {peak_tf:.0f})", flush=True)
+
+# (a) matmul + per-block max in a scan: the fused compute ceiling
+@jax.jit
+def mm_max():
+    def body(carry, blk):
+        s = jnp.einsum("qd,nd->qn", xq16, blk, preferred_element_type=jnp.float32)
+        return jnp.maximum(carry, jnp.max(s, axis=1)), None
+    blocks = xb16.reshape(16, N // 16, D)
+    out, _ = jax.lax.scan(body, jnp.full((B,), -1e30, jnp.float32), blocks)
+    return out
+timeit(mm_max, "bf16 matmul+max ceiling")
+
+# (b) production scan at block sizes
+for blk in (65536, 131072, 262144):
+    timeit(lambda blk=blk: flat_search(xb16, xq16, K, metric="ip", block_rows=blk, approx=True, recall_target=0.95),
+           f"bf16 scan+approx blk={blk}")
+
+# (c) int8 x int8
+@jax.jit
+def mm_max8():
+    def body(carry, blk):
+        s = jnp.einsum("qd,nd->qn", q8.astype(jnp.int32), blk.astype(jnp.int32), preferred_element_type=jnp.int32)
+        return jnp.maximum(carry, jnp.max(s, axis=1)), None
+    blocks = xb8.reshape(16, N // 16, D)
+    out, _ = jax.lax.scan(body, jnp.full((B,), -2**30, jnp.int32), blocks)
+    return out
+timeit(mm_max8, "int8 matmul+max ceiling", peak_tf=788.0)
+timeit(lambda: flat_search(xb8, xq32, K, metric="ip", block_rows=131072, approx=True, recall_target=0.95, xb_scales=xb8s),
+       "int8 scan+approx blk=131072", peak_tf=788.0)

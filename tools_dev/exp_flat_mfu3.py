@@ -43,16 +43,17 @@ def timeit(fn, label, peak_tf=394.0):
     tf = qps * N * D * 2 / 1e12
     print(f"{label}: qps={qps:,.0f} mxu={tf:.0f} TF/s ({tf/peak_tf*100:.0f}% of {peak_tf:.0f})", flush=True)
 
-# (a) matmul + per-block max in a scan: the fused compute ceiling
+# (a) matmul + per-block max in a scan: the fused compute ceiling.
+# Arrays are ARGUMENTS, not closures — a closed-over 1.5 GB array becomes a
+# lowered constant that ships to the remote compiler over the tunnel.
 @jax.jit
-def mm_max():
+def mm_max(q, db):
     def body(carry, blk):
-        s = jnp.einsum("qd,nd->qn", xq16, blk, preferred_element_type=jnp.float32)
+        s = jnp.einsum("qd,nd->qn", q, blk, preferred_element_type=jnp.float32)
         return jnp.maximum(carry, jnp.max(s, axis=1)), None
-    blocks = xb16.reshape(16, N // 16, D)
-    out, _ = jax.lax.scan(body, jnp.full((B,), -1e30, jnp.float32), blocks)
+    out, _ = jax.lax.scan(body, jnp.full((B,), -1e30, jnp.float32), db.reshape(16, N // 16, D))
     return out
-timeit(mm_max, "bf16 matmul+max ceiling")
+timeit(lambda: mm_max(xq16, xb16), "bf16 matmul+max ceiling")
 
 # (b) production scan at block sizes
 for blk in (65536, 131072, 262144):
@@ -61,13 +62,12 @@ for blk in (65536, 131072, 262144):
 
 # (c) int8 x int8
 @jax.jit
-def mm_max8():
+def mm_max8(q, db):
     def body(carry, blk):
-        s = jnp.einsum("qd,nd->qn", q8.astype(jnp.int32), blk.astype(jnp.int32), preferred_element_type=jnp.int32)
+        s = jnp.einsum("qd,nd->qn", q.astype(jnp.int32), blk.astype(jnp.int32), preferred_element_type=jnp.int32)
         return jnp.maximum(carry, jnp.max(s, axis=1)), None
-    blocks = xb8.reshape(16, N // 16, D)
-    out, _ = jax.lax.scan(body, jnp.full((B,), -2**30, jnp.int32), blocks)
+    out, _ = jax.lax.scan(body, jnp.full((B,), -2**30, jnp.int32), db.reshape(16, N // 16, D))
     return out
-timeit(mm_max8, "int8 matmul+max ceiling", peak_tf=788.0)
+timeit(lambda: mm_max8(q8, xb8), "int8 matmul+max ceiling", peak_tf=788.0)
 timeit(lambda: flat_search(xb8, xq32, K, metric="ip", block_rows=131072, approx=True, recall_target=0.95, xb_scales=xb8s),
        "int8 scan+approx blk=131072", peak_tf=788.0)

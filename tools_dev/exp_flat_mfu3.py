@@ -27,17 +27,23 @@ q8, q8s = quantize_rows(xq32)
 xb8, xb8s = quantize_rows(xb32)
 xb8.block_until_ready()
 
-def timeit(fn, label, peak_tf=394.0):
-    out = fn()
-    jax.block_until_ready(out)
+def timeit(fn, label, peak_tf=394.0, feed=None):
+    """Chained timing: block_until_ready is unreliable through the axon
+    tunnel, so iterations are chained by a data dependency on the previous
+    output and ONE scalar is fetched at the end (min of 3 trials)."""
+    out = fn(xq16)
+    float(np.asarray((feed or (lambda o: o))(out)).ravel()[0])
     ITERS = 8
     best = float("inf")
+    get = feed or (lambda o: o)
     for _ in range(3):
         t0 = time.perf_counter()
+        q = xq16
         o = None
         for _ in range(ITERS):
-            o = fn()
-        jax.block_until_ready(o)
+            o = fn(q)
+            q = xq16 + 0.0 * get(o).ravel()[0].astype(jnp.bfloat16)
+        float(np.asarray(get(o)).ravel()[0])
         best = min(best, (time.perf_counter() - t0) / ITERS)
     qps = B / best
     tf = qps * N * D * 2 / 1e12
@@ -53,12 +59,12 @@ def mm_max(q, db):
         return jnp.maximum(carry, jnp.max(s, axis=1)), None
     out, _ = jax.lax.scan(body, jnp.full((B,), -1e30, jnp.float32), db.reshape(16, N // 16, D))
     return out
-timeit(lambda: mm_max(xq16, xb16), "bf16 matmul+max ceiling")
+timeit(lambda q: mm_max(q, xb16), "bf16 matmul+max ceiling")
 
 # (b) production scan at block sizes
 for blk in (65536, 131072, 262144):
-    timeit(lambda blk=blk: flat_search(xb16, xq16, K, metric="ip", block_rows=blk, approx=True, recall_target=0.95),
-           f"bf16 scan+approx blk={blk}")
+    timeit(lambda q, blk=blk: flat_search(xb16, q, K, metric="ip", block_rows=blk, approx=True, recall_target=0.95),
+           f"bf16 scan+approx blk={blk}", feed=lambda o: o[0])
 
 # (c) int8 x int8
 @jax.jit
@@ -68,6 +74,6 @@ def mm_max8(q, db):
         return jnp.maximum(carry, jnp.max(s, axis=1)), None
     out, _ = jax.lax.scan(body, jnp.full((B,), -2**30, jnp.int32), db.reshape(16, N // 16, D))
     return out
-timeit(lambda: mm_max8(q8, xb8), "int8 matmul+max ceiling", peak_tf=788.0)
-timeit(lambda: flat_search(xb8, xq32, K, metric="ip", block_rows=131072, approx=True, recall_target=0.95, xb_scales=xb8s),
-       "int8 scan+approx blk=131072", peak_tf=788.0)
+timeit(lambda q: mm_max8(q8, xb8) + 0 * q[0, 0].astype(jnp.int32), "int8 matmul+max ceiling", peak_tf=788.0)
+timeit(lambda q: flat_search(xb8, q.astype(jnp.float32), K, metric="ip", block_rows=131072, approx=True, recall_target=0.95, xb_scales=xb8s),
+       "int8 scan+approx blk=131072", peak_tf=788.0, feed=lambda o: o[0])

@@ -16,7 +16,7 @@ from lotus_tpu.ops.common import fetch_int32
 from lotus_tpu.ops.pallas_ivf import ivf_search_pallas
 
 built = synth_ivf_device_build(n=10 * 2**20, d=768, nlist=4096, n_clusters=65536,
-                               chunk=2**18, queries_b=4096, gt_queries=256, k=10, spill_frac=0.0,
+                               chunk=2**18, queries_b=4096, gt_queries=256, k=10, spill_frac=0.05,
                                seed=0, log=lambda m: print(m, flush=True))
 state, xq, gt = built["state"], built["queries"], built["gt"]
 xq_dev = jnp.asarray(xq, jnp.float32)
@@ -36,8 +36,7 @@ def recall_at(nprobe, qc=None, rescore=32, i8=False):
     qps = 4096 / ((time.perf_counter() - t0) / 3)
     print(f"nprobe={nprobe} rescore={rescore} i8={i8}: recall={rec:.4f} qps={qps:,.0f}", flush=True)
 
-recall_at(64, 512, i8=True)
-recall_at(64, 512, rescore=64, i8=True)
-recall_at(128, 512, rescore=64, i8=True)
+recall_at(128, 256, i8=True)
+recall_at(160, 256, i8=True)
+recall_at(192, 256, i8=True)
 recall_at(256, 256, i8=True)
-recall_at(96, 512, rescore=64, i8=True)

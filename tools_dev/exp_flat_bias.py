@@ -45,7 +45,13 @@ def biased_scan(q, vecs, scales, rids, plist, cents, kb):
         rid = jax.lax.dynamic_slice_in_dim(rids, lo, BLK, axis=0)
         pl = jax.lax.dynamic_slice_in_dim(plist, lo, BLK, axis=0)
         s = jnp.einsum("qd,nd->qn", q16, blk.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
-        s = s * sc[None, :] + qc[:, pl]
+        # Block-aligned storage: every 512-row sub-block belongs to ONE list,
+        # so the coarse bias is a (B, BLK//512) table broadcast over rows —
+        # a fusable reshape-add, not a per-row gather.
+        plb = pl[::512]                       # (BLK//512,) list of each sub-block
+        bias = qc[:, plb]                     # (B, BLK//512)
+        s = s * sc[None, :]
+        s = (s.reshape(s.shape[0], BLK // 512, 512) + bias[:, :, None]).reshape(s.shape[0], BLK)
         s = jnp.where(rid[None, :] >= 0, s, MASK_SCORE)
         ts, tp = jax.lax.approx_max_k(s, kb, recall_target=0.95)
         ti = rid[tp]

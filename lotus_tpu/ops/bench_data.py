@@ -219,7 +219,7 @@ def synth_ivf_device_build(
         say(f"pass1: chunk {c + 1}: top2")
         a1, a2, mg = _assign_top2(x, centroids)
         say(f"pass1: chunk {c + 1}: block")
-        a1.block_until_ready()
+        jax.block_until_ready((a1, a2, mg, best_s))
         sl = slice(c * chunk, (c + 1) * chunk)
         say(f"pass1: chunk {c + 1}: fetch a1")
         assign[sl] = fetch_int32(a1)

@@ -69,7 +69,11 @@ def fetch_int32(x: jnp.ndarray) -> "np.ndarray":  # noqa: F821
 
     if x.dtype != jnp.int32:
         x = x.astype(jnp.int32)
-    return np.asarray(jax.lax.bitcast_convert_type(x, jnp.float32)).view(np.int32).reshape(x.shape)
+    y = jax.lax.bitcast_convert_type(x, jnp.float32)
+    # Block before the transfer: starting a D2H while the dispatch queue is
+    # deep intermittently wedges the axon tunnel (observed hangs).
+    y.block_until_ready()
+    return np.asarray(y).view(np.int32).reshape(x.shape)
 
 
 def cdiv(a: int, b: int) -> int:

@@ -283,7 +283,9 @@ def rescore_candidates(
     )
 
 
-def load_ivf_state(index_dir: str, meta: dict[str, Any], dtype: Any) -> dict[str, Any]:
+def load_ivf_state(
+    index_dir: str, meta: dict[str, Any], dtype: Any, refine_int4: bool | None = None
+) -> dict[str, Any]:
     state: dict[str, Any] = {
         "centroids": jnp.asarray(index_io.read_array(index_dir, "ivf_centroids", mmap=False)),
         "ivf_row_ids": jnp.asarray(index_io.read_array(index_dir, "ivf_row_ids", mmap=False)),
@@ -322,6 +324,14 @@ def load_ivf_state(index_dir: str, meta: dict[str, Any], dtype: Any) -> dict[str
             if res_step >= raw_step * 0.9:
                 residual = False
                 state["meta"] = {**meta, "encoding": "int8"}
+        refine = bool(refine_int4 if refine_int4 is not None else meta.get("refine_int4", False))
+        refine = refine and meta.get("metric") != "l2"
+        if refine:
+            row_ids_all = np.asarray(index_io.read_array(index_dir, "ivf_row_ids", mmap=False))
+            n_rows = int(row_ids_all.max()) + 1
+            d = vecs.shape[1]
+            r4 = np.zeros((n_rows, d // 2), np.int8)
+            r4s = np.zeros(n_rows, np.float32)
         step = 1 << 20
         for s in range(0, n, step):
             block = np.asarray(vecs[s : s + step], dtype=np.float32)
@@ -332,8 +342,23 @@ def load_ivf_state(index_dir: str, meta: dict[str, Any], dtype: Any) -> dict[str
             sc = np.where(m > 0, m / 127.0, 1.0).astype(np.float32)
             q[s : s + step] = np.clip(np.rint(block / sc[:, None]), -127, 127).astype(np.int8)
             scales[s : s + step] = sc
+            if refine:
+                # Packed-int4 refinement of the int8 quantization residual,
+                # keyed by ORIGINAL row id (spilled copies share one entry).
+                rid = row_ids_all[s : s + step]
+                live_rows = rid >= 0
+                r2 = block - q[s : s + step].astype(np.float32) * sc[:, None]
+                m4 = np.abs(r2).max(axis=1)
+                s4 = np.where(m4 > 0, m4 / 7.0, 1.0).astype(np.float32)
+                q4 = np.clip(np.rint(r2 / s4[:, None]), -7, 7).astype(np.int8)
+                packed = ((q4[:, 0::2] & 0xF) | ((q4[:, 1::2] & 0xF) << 4)).astype(np.int8)
+                r4[rid[live_rows]] = packed[live_rows]
+                r4s[rid[live_rows]] = s4[live_rows]
         state["ivf_vectors"] = jnp.asarray(q)
         state["ivf_row_scales"] = jnp.asarray(scales)
+        if refine:
+            state["ivf_refine"] = jnp.asarray(r4)
+            state["ivf_refine_scales"] = jnp.asarray(r4s)
         if meta.get("metric") == "l2":
             norms = (q.astype(np.float32) ** 2).sum(axis=1) * scales.astype(np.float64) ** 2
             state["ivf_norms_sq"] = jnp.asarray(norms.astype(np.float32))
@@ -440,8 +465,14 @@ def ivf_search(
     nprobe: int,
     metric: str,
     vmem_budget_rows: int = 1 << 21,
+    rescore: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Search the IVF index. Returns (distances, original-row indices)."""
+    """Search the IVF index. Returns (distances, original-row indices).
+
+    ``rescore`` widens the probe to that many candidates and exactly
+    re-ranks them with f32 queries over reconstructed rows (int8 plus the
+    int4 refinement when the state carries one) — see rescore_candidates.
+    """
     meta = state["meta"]
     nlist = int(meta["nlist"])
     window = int(meta["probe_window"])
@@ -461,6 +492,8 @@ def ivf_search(
         xq = xq[None, :]
     xq = xq.astype(jnp.float32)
 
+    do_rescore = rescore is not None and metric != "l2" and state["ivf_vectors"].dtype == jnp.int8
+    k_probe = max(k, rescore) if do_rescore else k
     scores, idx = _ivf_probe(
         state["centroids"],
         state["ivf_vectors"],
@@ -468,7 +501,7 @@ def ivf_search(
         state["ivf_list_start"],
         state["ivf_list_size"],
         xq,
-        k,
+        k_probe,
         nprobe,
         window,
         metric,
@@ -477,6 +510,8 @@ def ivf_search(
         state.get("ivf_norms_sq"),
         residual=residual,
     )
+    if do_rescore:
+        scores, idx = rescore_candidates(state, xq, idx, k)
     dists = as_distance(scores, metric)
     if metric == "l2":
         q_norms = jnp.sum(jnp.square(xq), axis=-1, keepdims=True)

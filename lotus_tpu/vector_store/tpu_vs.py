@@ -64,6 +64,8 @@ class TpuVS(VS):
         block_rows: int = DEFAULT_BLOCK_ROWS,
         int8_encoding: str = "residual",
         spill_frac: float = 0.0,
+        int8_refine: bool = False,
+        rescore: Optional[int] = None,
     ) -> None:
         super().__init__()
         if index_type not in ("flat", "ivf"):
@@ -84,6 +86,11 @@ class TpuVS(VS):
         # Fraction of rows replicated into their 2nd-nearest list (SOAR-style
         # boundary spill; probes dedup by row id).
         self.spill_frac = spill_frac
+        # int8 loads: also build a packed-int4 refinement (0.5 byte/dim) and
+        # exactly re-rank the probes' top-``rescore`` candidates with f32
+        # queries — removes quantization rank flips at the top-k boundary.
+        self.int8_refine = int8_refine
+        self.rescore = rescore
         self.index_dir: str | None = None
         # Device-resident state for the currently loaded index.
         self._state: dict[str, Any] | None = None
@@ -158,7 +165,7 @@ class TpuVS(VS):
         if meta["kind"] == "ivf":
             from lotus_tpu.ops.ivf import load_ivf_state
 
-            state.update(load_ivf_state(self.index_dir, meta, dtype))
+            state.update(load_ivf_state(self.index_dir, meta, dtype, refine_int4=self.int8_refine))
             if self.mesh is not None and len(self.mesh.devices.flat) > 1:
                 from lotus_tpu.parallel import shard_ivf_state
 
@@ -347,6 +354,7 @@ class TpuVS(VS):
                 dists, idx = ivf_search_pallas(
                     state, jnp.asarray(xq), k_eff, nprobe=nprobe,
                     metric=meta["metric"], interpret=self._pallas_interpret,
+                    rescore=kwargs.get("rescore", self.rescore),
                 )
         elif use_ivf:
             nprobe = int(kwargs.get("nprobe", self.nprobe))
@@ -360,7 +368,8 @@ class TpuVS(VS):
                 from lotus_tpu.ops.ivf import ivf_search
 
                 dists, idx = ivf_search(
-                    state, jnp.asarray(xq), k_eff, nprobe=nprobe, metric=meta["metric"]
+                    state, jnp.asarray(xq), k_eff, nprobe=nprobe, metric=meta["metric"],
+                    rescore=kwargs.get("rescore", self.rescore),
                 )
         else:
             # Exhaustive scan path (flat indexes, ids-restricted searches,

@@ -280,3 +280,26 @@ def test_ivf_residual_spill_clustered(tmp_path):
         assert len(ids) == len(set(ids))
     recall = np.mean([len(set(got[r]) & set(gt[r])) / 5 for r in range(len(gt))])
     assert recall >= 0.95, recall
+
+
+def test_tpuvs_int8_refine_rescore(tmp_path):
+    """Product path: int8 + int4 refinement + exact rescoring through TpuVS."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((32, 64)).astype(np.float32)
+    emb = centers[rng.integers(0, 32, 3000)] * 2.5 + rng.standard_normal((3000, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[rng.integers(0, 3000, 16)] + 0.05 * rng.standard_normal((16, 64)).astype(np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    vs = TpuVS(index_type="ivf", nlist=32, nprobe=16, device_dtype="int8",
+               int8_refine=True, rescore=24)
+    vs.index([], emb, str(tmp_path / "ix"))
+    # One query per call keeps b * nprobe < nlist, driving the window probe
+    # (the planner's small-batch regime) — the rescoring path under test.
+    got = np.stack([np.asarray(vs(queries[r : r + 1], 5).indices)[0] for r in range(16)])
+    gt = np.argsort(-(queries @ emb.T), axis=1)[:, :5]
+    recall = np.mean([len(set(got[r]) & set(gt[r])) / 5 for r in range(16)])
+    # Probe + exact rescoring: int8 noise removed from the final ranking.
+    assert recall >= 0.97, recall
+    state = vs._state
+    assert "ivf_refine" in state

@@ -39,14 +39,23 @@ BLK = 1024  # db rows per grid step
 NL = 128    # candidate lanes (running top-2 each)
 
 
-def _scan_kernel(xq_ref, xb_ref, *rest, dequant, n_valid):
-    """One (q_tile, block) step: dot + fold into the running per-lane top-2."""
+def _scan_kernel(xq_ref, xb_ref, *rest, dequant, n_valid, biased, masked):
+    """One (q_tile, block) step: dot + fold into the running per-lane top-2.
+
+    ``biased``: a (1, QU) per-(query, block) score offset — the exact f32
+    q.c term for residual-encoded storage, constant across the block's rows
+    because block-aligned CSR keeps each 512/1024-row block inside one list.
+    ``masked``: a per-row validity plane for storage with internal padding
+    (list tails), laid out like the scales.
+    """
     refs = list(rest)
     sec_i_ref = refs.pop()
     sec_s_ref = refs.pop()
     best_i_ref = refs.pop()
     best_s_ref = refs.pop()
     sc_ref = refs.pop(0) if dequant else None
+    bias_ref = refs.pop(0) if biased else None
+    mask_ref = refs.pop(0) if masked else None
 
     bstep = pl.program_id(1)
 
@@ -57,6 +66,7 @@ def _scan_kernel(xq_ref, xb_ref, *rest, dequant, n_valid):
         sec_s_ref[...] = jnp.full((QU, NL), MASK_SCORE, jnp.float32)
         sec_i_ref[...] = jnp.full((QU, NL), NO_HIT, jnp.int32)
 
+    blk = xb_ref.shape[0]
     xb = xb_ref[...]
     if xb.dtype == jnp.int8 and xq_ref.dtype == jnp.int8:
         dot = jnp.dot(xq_ref[...], xb.T, preferred_element_type=jnp.int32)
@@ -65,18 +75,22 @@ def _scan_kernel(xq_ref, xb_ref, *rest, dequant, n_valid):
         prec = jax.lax.Precision.HIGHEST if xq_ref.dtype == jnp.float32 else None
         dot = jnp.dot(xq_ref[...], xb.T, preferred_element_type=jnp.float32, precision=prec)
 
-    base = bstep * BLK
+    base = bstep * blk
     best_s = best_s_ref[...]
     best_i = best_i_ref[...]
     sec_s = sec_s_ref[...]
     sec_i = sec_i_ref[...]
     lane = jax.lax.broadcasted_iota(jnp.int32, (QU, NL), 1)
-    for j in range(BLK // NL):
+    for j in range(blk // NL):
         sl = dot[:, j * NL : (j + 1) * NL].astype(jnp.float32)
         if sc_ref is not None:
             sl = sl * sc_ref[0, j][None, :]
+        if bias_ref is not None:
+            sl = sl + bias_ref[0, :][:, None]
         rows = base + j * NL + lane
         sl = jnp.where(rows < n_valid, sl, MASK_SCORE)
+        if mask_ref is not None:
+            sl = jnp.where(mask_ref[0, j][None, :] != 0, sl, MASK_SCORE)
         upd = sl > best_s
         new_sec_s = jnp.where(upd, best_s, jnp.maximum(sec_s, sl))
         new_sec_i = jnp.where(upd, best_i, jnp.where(sl > sec_s, rows, sec_i))
@@ -89,26 +103,39 @@ def _scan_kernel(xq_ref, xb_ref, *rest, dequant, n_valid):
     sec_i_ref[...] = sec_i
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret", "n_rows"))
-def _flat_pallas_impl(xb, xq, n_rows, xb_scales, q_scales, k, interpret):
+@functools.partial(jax.jit, static_argnames=("k", "interpret", "n_rows", "blk"))
+def _flat_pallas_impl(xb, xq, n_rows, xb_scales, q_scales, k, interpret, bias_blocks=None, row_mask=None, blk=BLK):
     b, d = xq.shape
     n_pad = xb.shape[0]
-    assert n_pad % BLK == 0 and b % QU == 0
+    assert n_pad % blk == 0 and b % QU == 0
     nq_tiles = b // QU
-    n_blocks = n_pad // BLK
+    n_blocks = n_pad // blk
     dequant = xb_scales is not None
 
-    kernel = functools.partial(_scan_kernel, dequant=dequant, n_valid=n_rows)
+    kernel = functools.partial(
+        _scan_kernel, dequant=dequant, n_valid=n_rows,
+        biased=bias_blocks is not None, masked=row_mask is not None,
+    )
     in_specs = [
         pl.BlockSpec((QU, d), lambda qt, bs: (qt, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BLK, d), lambda qt, bs: (bs, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((blk, d), lambda qt, bs: (bs, 0), memory_space=pltpu.VMEM),
     ]
     operands = [xq, xb]
     if dequant:
         in_specs.append(
-            pl.BlockSpec((1, BLK // NL, NL), lambda qt, bs: (bs, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, blk // NL, NL), lambda qt, bs: (bs, 0, 0), memory_space=pltpu.VMEM)
         )
-        operands.append(xb_scales.reshape(-1, BLK // NL, NL))
+        operands.append(xb_scales.reshape(-1, blk // NL, NL))
+    if bias_blocks is not None:
+        in_specs.append(
+            pl.BlockSpec((1, QU), lambda qt, bs: (bs, qt), memory_space=pltpu.VMEM)
+        )
+        operands.append(bias_blocks)  # (n_blocks, b) f32
+    if row_mask is not None:
+        in_specs.append(
+            pl.BlockSpec((1, blk // NL, NL), lambda qt, bs: (bs, 0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(row_mask.reshape(-1, blk // NL, NL))
 
     # Scratch-as-output: the per-lane running top-2 lives in the output
     # blocks, which stay pinned in VMEM for all block steps of a query tile
@@ -191,3 +218,82 @@ def flat_search_pallas(
             q_scales = jnp.pad(q_scales, (0, b_pad - b))
     s, i = _flat_pallas_impl(xb, xq, int(n), xb_scales, q_scales, k, interpret)
     return s[:b], i[:b]
+
+
+def ivf_residual_scan(
+    state: dict,
+    xq: jnp.ndarray,
+    k: int,
+    *,
+    rescore: int | None = 64,
+    int8_queries: bool = True,
+    interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exhaustive streaming scan of a residual-encoded IVF store (ip/cosine).
+
+    Block-aligned CSR storage keeps every 512-row block inside one list, so
+    the exact f32 coarse term q.c is a per-(query, block) SCALAR — streamed
+    into the kernel as a (n_blocks, B) plane instead of the per-row gather
+    that defeats XLA fusion.  Scans ALL rows (no coarse-probe coverage
+    loss); quantization rank flips are removed by the exact rescoring pass.
+    Candidate ids are deduped (spilled rows may appear twice).
+    """
+    from lotus_tpu.ops.common import dedup_topk
+    from lotus_tpu.ops.ivf import ensure_pos_list, rescore_candidates
+
+    meta = state["meta"]
+    blk = int(meta.get("block_align", 0))
+    if blk not in (512, 1024) or meta.get("metric") == "l2":
+        raise ValueError("ivf_residual_scan needs a block-aligned ip/cosine store")
+    vecs = state["ivf_vectors"]
+    rows = vecs.shape[0] // blk * blk  # window tail is dead (never in a list)
+    vecs = vecs[:rows]
+    row_ids = state["ivf_row_ids"][:rows]
+    scales = state["ivf_row_scales"][:rows]
+    residual = meta.get("encoding") == "residual_int8" and vecs.dtype == jnp.int8
+
+    b = xq.shape[0]
+    xqf = xq.astype(jnp.float32)
+    b_pad = -(-b // QU) * QU
+    bias_blocks = None
+    if residual:
+        qc = jnp.einsum(
+            "qd,ld->ql", xqf, state["centroids"], preferred_element_type=jnp.float32
+        )  # (b, nlist)
+        block_lists = ensure_pos_list(state)[:rows:blk]  # (n_blocks,)
+        bias_blocks = qc[:, block_lists].T  # (n_blocks, b)
+        if b_pad != b:
+            bias_blocks = jnp.pad(bias_blocks, ((0, 0), (0, b_pad - b)))
+    mask = (row_ids >= 0).astype(jnp.int8)
+
+    q_scales = None
+    xq_in = xqf
+    if vecs.dtype == jnp.int8:
+        if int8_queries and not residual:
+            from lotus_tpu.ops.quant import quantize_rows
+
+            xq_in, q_scales = quantize_rows(xqf)
+        else:
+            # Residual scoring adds a bias, so the per-query scale is NOT
+            # rank-neutral: keep queries bf16.
+            xq_in = xqf.astype(jnp.bfloat16)
+    else:
+        xq_in = xqf.astype(jnp.bfloat16)
+    if b_pad != b:
+        xq_in = jnp.pad(xq_in, ((0, b_pad - b), (0, 0)))
+        if q_scales is not None:
+            q_scales = jnp.pad(q_scales, (0, b_pad - b))
+
+    k_cand = max(k, rescore or k)
+    s, pos = _flat_pallas_impl(
+        vecs, xq_in, rows, scales, q_scales, max(k_cand, k), interpret,
+        bias_blocks=bias_blocks, row_mask=mask, blk=blk,
+    )
+    s, pos = s[:b], pos[:b]
+    ids = jnp.where(pos >= 0, row_ids[jnp.maximum(pos, 0)], NO_HIT)
+    s, ids = dedup_topk(s, ids, k_cand)
+    if rescore is not None:
+        s, ids = rescore_candidates(state, xqf, ids, k)
+    else:
+        s, ids = s[:, :k], ids[:, :k]
+    return s, ids

@@ -84,7 +84,7 @@ def main() -> None:
     nprobe = min(NPROBE, scale_cfg["nlist"])
 
     def search(q):
-        return ivf_search_pallas(state, q, K, nprobe=nprobe, metric="ip", interpret=not on_tpu, rescore=32, int8_queries=on_tpu, query_chunk=256 if on_tpu else None)
+        return ivf_search_pallas(state, q, K, nprobe=nprobe, metric="ip", interpret=not on_tpu, rescore=32, int8_queries=on_tpu, query_chunk=2048 if on_tpu else None)
 
     from lotus_tpu.ops.common import fetch_int32
 

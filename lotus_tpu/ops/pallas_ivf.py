@@ -46,38 +46,48 @@ BL = 512     # db rows per block (index must be built with block_align=BL)
 BUCKET = 16  # -> nbk = 32, 64 candidates per (query, block)
 
 
-def _bucket_top2_write(get_slice, _unused, out_s_ref, out_i_ref):
-    """Reduce BUCKET slices of (QU, nbk) scores to per-bucket (top-2, arg).
+def _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref):
+    """Fold BUCKET slices of (QU, nbk) scores into the running per-bucket
+    (top-2 score, global index) state held in the OUTPUT block.
 
     Buckets are STRIDED (bucket b = cols {b + j*nbk}), so the reduction is a
     running max over BUCKET contiguous (QU, nbk) lane slices — no lane-dim
-    reshape, which Mosaic handles poorly for trailing dims != 128.  Emitting
+    reshape, which Mosaic handles poorly for trailing dims != 128.  Keeping
     the TOP-2 of each bucket turns the recall loss from pair collisions
     (~C(k,2)*BUCKET/list_rows, several points at IVF list sizes) into triple
-    collisions (negligible).  ``get_slice(j)`` returns the masked f32 scores
-    for db rows [j*nbk, (j+1)*nbk) of the block.
+    collisions (negligible).
+
+    Consecutive grid units of one (list, query-chunk) visit the chunk's
+    blocks back-to-back with the SAME output index, so Pallas keeps the
+    output block resident in VMEM: the fold runs across ALL of a list's
+    blocks and the (chunk, QU, 2*nbk) result is flushed to HBM once per
+    chunk — this is what shrinks probe memory/traffic by ~blocks-per-list
+    versus emitting per-block candidates.  ``first`` (scalar) marks the
+    chunk's first block: the previous output contents are garbage then and
+    are replaced by MASK_SCORE.  ``get_slice(j)`` returns the masked f32
+    scores for db rows [j*nbk, (j+1)*nbk) of the block; ``base`` is the
+    block's global starting row, so emitted indices are global int32.
     """
     nbk = BL // BUCKET
-    best_s = get_slice(0)
-    best_j = jnp.zeros((QU, nbk), jnp.int32)
-    sec_s = jnp.full((QU, nbk), MASK_SCORE, jnp.float32)
-    sec_j = jnp.zeros((QU, nbk), jnp.int32)
-    for j in range(1, BUCKET):
-        sl = get_slice(j)
-        upd = sl > best_s
-        sec2 = jnp.where(upd, best_s, jnp.maximum(sec_s, sl))
-        sec_j = jnp.where(upd, best_j, jnp.where(sl > sec_s, j, sec_j))
-        sec_s = sec2
-        best_s = jnp.where(upd, sl, best_s)
-        best_j = jnp.where(upd, j, best_j)
     lane = jax.lax.broadcasted_iota(jnp.int32, (QU, nbk), 1)
-    # Indices are BLOCK-LOCAL (< BL, int16): the router adds btab[u]*BL back.
-    # Emitting int32 globals would double the (u_max, QU, 2*nbk) index
-    # array — the dominant probe memory at 10M rows (u_max ~ rows/BL).
+    prev_s = out_s_ref[0]
+    prev_i = out_i_ref[0]
+    best_s = jnp.where(first, MASK_SCORE, prev_s[:, :nbk])
+    best_i = jnp.where(first, 0, prev_i[:, :nbk])
+    sec_s = jnp.where(first, MASK_SCORE, prev_s[:, nbk:])
+    sec_i = jnp.where(first, 0, prev_i[:, nbk:])
+    for j in range(BUCKET):
+        sl = get_slice(j)
+        idx = base + j * nbk + lane
+        upd = sl > best_s
+        upd2 = sl > sec_s
+        new_sec_s = jnp.where(upd, best_s, jnp.where(upd2, sl, sec_s))
+        new_sec_i = jnp.where(upd, best_i, jnp.where(upd2, idx, sec_i))
+        best_i = jnp.where(upd, idx, best_i)
+        best_s = jnp.where(upd, sl, best_s)
+        sec_s, sec_i = new_sec_s, new_sec_i
     out_s_ref[0] = jnp.concatenate([best_s, sec_s], axis=1)
-    out_i_ref[0] = jnp.concatenate(
-        [best_j * nbk + lane, sec_j * nbk + lane], axis=1
-    ).astype(jnp.int16)
+    out_i_ref[0] = jnp.concatenate([best_i, sec_i], axis=1)
 
 
 def _slice_mask(j, vcount):
@@ -86,7 +96,7 @@ def _slice_mask(j, vcount):
     return cols < vcount
 
 
-def _probe_kernel(qtab_ref, btab_ref, vtab_ref, xq_ref, xb_ref, *rest, int8_dot, dequant, l2):
+def _probe_kernel(qtab_ref, btab_ref, vtab_ref, ftab_ref, xq_ref, xb_ref, *rest, int8_dot, dequant, l2):
     """One unit: (QU, d) x (BL, d)^T -> per-bucket (top-2, arg).
 
     Variants (static flags; extra inputs in order):
@@ -118,6 +128,8 @@ def _probe_kernel(qtab_ref, btab_ref, vtab_ref, xq_ref, xb_ref, *rest, int8_dot,
         dot = jnp.dot(xq_ref[:], xb.T, preferred_element_type=jnp.float32, precision=prec)
     u = pl.program_id(0)
     vcount = vtab_ref[u]
+    base = btab_ref[u] * BL
+    first = ftab_ref[u] != 0
 
     def get_slice(j):
         sl = dot[:, j * nbk : (j + 1) * nbk].astype(jnp.float32)
@@ -127,7 +139,7 @@ def _probe_kernel(qtab_ref, btab_ref, vtab_ref, xq_ref, xb_ref, *rest, int8_dot,
             sl = 2.0 * sl - nm_ref[0, j][None, :]
         return jnp.where(_slice_mask(j, vcount), sl, MASK_SCORE)
 
-    _bucket_top2_write(get_slice, None, out_s_ref, out_i_ref)
+    _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref)
 
 
 @functools.partial(
@@ -219,6 +231,9 @@ def _grouped_probe_pallas(
     xq_units = xq_pad[sq_full]                                  # (chunks*QU, d)
 
     # ---- per-unit scalar tables --------------------------------------------
+    # Unit order within a list is chunk-major, block-minor: consecutive units
+    # walk one chunk's blocks back-to-back, which is what lets the kernel
+    # fold its per-bucket top-2 across blocks in the resident output block.
     u_ids = jnp.arange(u_max, dtype=jnp.int32)
     lid = jnp.searchsorted(unit_cum, u_ids, side="right").astype(jnp.int32)
     lid = jnp.minimum(lid, nlist - 1)
@@ -232,26 +247,21 @@ def _grouped_probe_pallas(
     qtab = jnp.where(valid_u, chunk_base[lid] + chunk_idx, n_chunks_max)  # query-tile index
     btab = jnp.where(valid_u, list_start[lid] // BL + block_idx, xb_sorted.shape[0] // BL - 1)
     vtab = jnp.where(valid_u, jnp.clip(list_size[lid] - block_idx * BL, 0, BL), 0)
-    # Unit -> (chunk, block) inverse for reassembly.
-    utab = jnp.full((n_chunks_max + 1, max_blocks), -1, jnp.int32)
-    utab = utab.at[qtab, jnp.where(valid_u, block_idx, 0)].set(
-        jnp.where(valid_u, u_ids, -1)
-    )
-    utab = utab[:n_chunks_max]
+    ftab = jnp.where(valid_u, (block_idx == 0).astype(jnp.int32), 1)  # chunk-start flag
 
     # Pad query tiles with one dummy tile for parked units.
     xq_units = jnp.concatenate([xq_units, jnp.zeros((QU, d), xq_store.dtype)])
     xb_blocks = xb_sorted  # (rows, d), rows % BL == 0 (+ window padding)
 
-    ncand = 2 * nbk  # top-2 per bucket
+    ncand = 2 * nbk  # top-2 per bucket, folded across the whole list
     in_specs = [
-        pl.BlockSpec((QU, d), lambda u, qt, bt, vt: (qt[u], 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BL, d), lambda u, qt, bt, vt: (bt[u], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((QU, d), lambda u, qt, bt, vt, ft: (qt[u], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BL, d), lambda u, qt, bt, vt, ft: (bt[u], 0), memory_space=pltpu.VMEM),
     ]
     operands = [xq_units, xb_blocks]  # xq_store dtype already matches the kernel variant
     # (nblocks, BUCKET, nbk): full trailing dims per block (tile-legal).
     per_row_spec = pl.BlockSpec(
-        (1, BUCKET, BL // BUCKET), lambda u, qt, bt, vt: (bt[u], 0, 0), memory_space=pltpu.VMEM
+        (1, BUCKET, BL // BUCKET), lambda u, qt, bt, vt, ft: (bt[u], 0, 0), memory_space=pltpu.VMEM
     )
     if is_int8:
         in_specs.append(per_row_spec)
@@ -260,56 +270,50 @@ def _grouped_probe_pallas(
         in_specs.append(per_row_spec)
         operands.append(norms_sq.reshape(-1, BUCKET, BL // BUCKET))
     kernel = functools.partial(_probe_kernel, int8_dot=int8_dot, dequant=is_int8, l2=is_l2)
+    # Output is indexed by CHUNK, not unit: consecutive units of one chunk
+    # revisit the same output block (kept in VMEM, flushed once per chunk).
+    # Row n_chunks_max is the parking row for padded units.
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(u_max,),
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, QU, ncand), lambda u, qt, bt, vt: (u, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QU, ncand), lambda u, qt, bt, vt: (u, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QU, ncand), lambda u, qt, bt, vt, ft: (qt[u], 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, QU, ncand), lambda u, qt, bt, vt, ft: (qt[u], 0, 0), memory_space=pltpu.VMEM),
         ),
     )
     cand_s, cand_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((u_max, QU, ncand), jnp.float32),
-            jax.ShapeDtypeStruct((u_max, QU, ncand), jnp.int16),
+            jax.ShapeDtypeStruct((n_chunks_max + 1, QU, ncand), jnp.float32),
+            jax.ShapeDtypeStruct((n_chunks_max + 1, QU, ncand), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * u_max * QU * BL * d,
-            bytes_accessed=u_max * (QU * d * 4 + BL * d * 2 + 2 * ncand * QU * 4),
+            bytes_accessed=u_max * (QU * d * 4 + BL * d * 2) + n_chunks_max * 2 * ncand * QU * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(qtab, btab, vtab, *operands)
+    )(qtab, btab, vtab, ftab, *operands)
 
     # ---- reassemble per pair ----------------------------------------------
-    # Pair p lives at (chunk, lane) = divmod(padpos[p], QU); its candidates
-    # are rows (utab[chunk] * QU + lane) of the flattened kernel output — a
-    # direct (P, max_blocks)-row gather of 512-byte rows.  (Two rejected
-    # alternatives, both measured slower: a chunk-major intermediate gather
-    # moves max_blocks/avg_blocks more data plus a transpose; a per-unit
-    # exact top-k reduce costs a u_max*QU-row sort.)
-    cidx = padpos // QU                                   # (P,)
-    lpos = padpos % QU
-    usel = utab[cidx]                                     # (P, mb); -1 = no block
-    rowsel = jnp.maximum(usel, 0) * QU + lpos[:, None]
-    flat_s = cand_s.reshape(u_max * QU, ncand)
-    flat_i = cand_i.reshape(u_max * QU, ncand)
-    pool_s = flat_s[rowsel]                               # (P, mb, ncand)
-    pool_i = flat_i[rowsel].astype(jnp.int32)
-    # Globalize the block-local int16 indices: block start = btab[unit]*BL.
-    pool_base = jnp.maximum(btab[jnp.maximum(usel, 0)], 0) * BL
-    pool_i = pool_i + pool_base[:, :, None]
-    pool_s = jnp.where(usel[:, :, None] >= 0, pool_s, MASK_SCORE)
-    pool_s = pool_s.reshape(p, max_blocks * ncand)
-    pool_i = pool_i.reshape(p, max_blocks * ncand)
+    # Pair p's candidates live at flattened row padpos[p] of the kernel
+    # output (chunk * QU + lane) — one (P, ncand)-row gather; indices are
+    # already global.  A pair whose list produced no units (probed but
+    # empty) reads an unwritten chunk row: mask by blocks-of-list > 0.
+    flat_s = cand_s.reshape((n_chunks_max + 1) * QU, ncand)
+    flat_i = cand_i.reshape((n_chunks_max + 1) * QU, ncand)
+    pool_s = flat_s[padpos]                               # (P, ncand)
+    pool_i = flat_i[padpos]
+    pool_s = jnp.where((blocks[sl] > 0)[:, None], pool_s, MASK_SCORE)
 
-    # Route back to (query, probe slot) and merge.
-    kc = max_blocks * ncand
-    cand_s = jnp.full((b, nprobe, kc), MASK_SCORE, jnp.float32).at[sq, sslot].set(pool_s)
-    cand_i = jnp.full((b, nprobe, kc), 0, jnp.int32).at[sq, sslot].set(pool_i)
+    # Route back to (query, probe slot) via the inverse pair permutation
+    # (a gather, cheaper than scattering into a (B, nprobe, ncand) pool).
+    kc = ncand
+    inv_order = jnp.zeros_like(order).at[order].set(pair_pos)
+    cand_s = pool_s[inv_order].reshape(b, nprobe, kc)
+    cand_i = pool_i[inv_order].reshape(b, nprobe, kc)
     if probe_bias is not None:
         # Residual encoding: the stored vectors are (x - centroid), so every
         # candidate of probe slot s owes the exact coarse term q.c held in
@@ -360,7 +364,11 @@ def ivf_search_pallas(
     residual-to-vector magnitude ratio (ip/cosine only).
 
     ``query_chunk`` bounds the candidate-pool memory (which grows with
-    b * nprobe) by probing the batch in slices.
+    b * nprobe) by probing the batch in slices.  The kernel folds its
+    per-bucket top-2 across every block of a probed list, so chunks can be
+    large: full MXU lane occupancy needs ~QU * nlist / nprobe queries per
+    chunk (at B=4096/nprobe=256/nlist=4096 that is 2048 — 8x the lane
+    occupancy of a 256-query chunk, which was the round-2 bottleneck).
 
     ``rescore`` widens the probe to that many candidates and exactly
     re-ranks them with f32 queries over reconstructed rows (int8 plus the

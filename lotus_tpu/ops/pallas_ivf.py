@@ -40,10 +40,13 @@ BL = 512     # db rows per block (index must be built with block_align=BL)
 # Rows per emitted candidate.  IVF candidate pools are small (nprobe lists,
 # not the whole DB), so the bucket must be much finer than the flat kernel's
 # 128.  With the exact-rescoring stage downstream, the bucket only needs to
-# DELIVER candidates, not rank them: top-2 of 16 keeps pair-collision loss
-# negligible while halving the kernel's (u_max, QU, 2*nbk) output arrays —
-# the dominant probe memory at 10M rows (u_max ~ rows/BL).
-BUCKET = 16  # -> nbk = 32, 64 candidates per (query, block)
+# DELIVER candidates, not rank them.  Since the fold runs across a WHOLE
+# list (several blocks), clustered corpora concentrate many of a query's
+# true top-10 in one list: at BUCKET=16 (32 lanes x top-2) triple
+# collisions capped recall at 0.9906 on the 10M bench regardless of
+# nprobe/rescore; BUCKET=8 (64 lanes x top-2 = 128 candidates per pair)
+# removes that ceiling for ~2x the (now chunk-granular) output memory.
+BUCKET = 8  # -> nbk = 64, 128 candidates per (query, list-chunk)
 
 
 def _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref):

@@ -41,15 +41,19 @@ def main() -> None:
     xq_dev = jnp.asarray(xq, dtype=jnp.float32)
     b = xq.shape[0]
 
-    grid = [
-        dict(nprobe=256, rescore=32, query_chunk=2048),
-        dict(nprobe=256, rescore=64, query_chunk=2048),
-        dict(nprobe=320, rescore=64, query_chunk=2048),
-        dict(nprobe=384, rescore=64, query_chunk=1536),
-        dict(nprobe=256, rescore=64, query_chunk=1024),
-        dict(nprobe=128, rescore=64, query_chunk=2048),
-        dict(nprobe=64, rescore=48, query_chunk=2048),
-    ]
+    import os
+    grid_env = os.getenv("PROBE3_GRID")
+    grid = (
+        [dict(zip(("nprobe", "rescore", "query_chunk"), map(int, row.split(","))))
+         for row in grid_env.split(";")]
+        if grid_env
+        else [
+            dict(nprobe=256, rescore=32, query_chunk=2048),
+            dict(nprobe=192, rescore=32, query_chunk=2048),
+            dict(nprobe=128, rescore=32, query_chunk=2048),
+            dict(nprobe=64, rescore=32, query_chunk=2048),
+        ]
+    )
     for g in grid:
         def search(q, g=g):
             return ivf_search_pallas(

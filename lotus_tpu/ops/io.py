@@ -60,3 +60,11 @@ def read_array(index_dir: str, name: str, mmap: bool = True) -> np.ndarray:
 
 def array_exists(index_dir: str, name: str) -> bool:
     return os.path.exists(os.path.join(index_dir, f"{name}.npy"))
+
+
+def has_shard_manifest(index_dir: str) -> bool:
+    """True when the index was persisted as per-host shards
+    (parallel/distributed.py's shards.json lives next to meta.json)."""
+    from lotus_tpu.parallel.distributed import SHARD_MANIFEST
+
+    return os.path.exists(os.path.join(index_dir, SHARD_MANIFEST))

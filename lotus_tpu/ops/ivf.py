@@ -284,13 +284,24 @@ def rescore_candidates(
 
 
 def load_ivf_state(
-    index_dir: str, meta: dict[str, Any], dtype: Any, refine_int4: bool | None = None
+    index_dir: str,
+    meta: dict[str, Any],
+    dtype: Any,
+    refine_int4: bool | None = None,
+    device: bool = True,
 ) -> dict[str, Any]:
+    """Load (and for int8, quantize) the IVF arrays.
+
+    ``device=False`` keeps everything in numpy — used by the shard-save
+    path (``parallel.ivf.save_ivf_shards``), which re-slices the arrays
+    host-side and must not bounce a 100M-row store through one chip's HBM.
+    """
+    wrap = jnp.asarray if device else np.asarray
     state: dict[str, Any] = {
-        "centroids": jnp.asarray(index_io.read_array(index_dir, "ivf_centroids", mmap=False)),
-        "ivf_row_ids": jnp.asarray(index_io.read_array(index_dir, "ivf_row_ids", mmap=False)),
-        "ivf_list_start": jnp.asarray(index_io.read_array(index_dir, "ivf_list_start", mmap=False)),
-        "ivf_list_size": jnp.asarray(index_io.read_array(index_dir, "ivf_list_size", mmap=False)),
+        "centroids": wrap(index_io.read_array(index_dir, "ivf_centroids", mmap=False)),
+        "ivf_row_ids": wrap(index_io.read_array(index_dir, "ivf_row_ids", mmap=False)),
+        "ivf_list_start": wrap(index_io.read_array(index_dir, "ivf_list_start", mmap=False)),
+        "ivf_list_size": wrap(index_io.read_array(index_dir, "ivf_list_size", mmap=False)),
     }
     vecs = index_io.read_array(index_dir, "ivf_vectors")  # f32 mmap
     if dtype == jnp.int8:
@@ -354,16 +365,19 @@ def load_ivf_state(
                 packed = ((q4[:, 0::2] & 0xF) | ((q4[:, 1::2] & 0xF) << 4)).astype(np.int8)
                 r4[rid[live_rows]] = packed[live_rows]
                 r4s[rid[live_rows]] = s4[live_rows]
-        state["ivf_vectors"] = jnp.asarray(q)
-        state["ivf_row_scales"] = jnp.asarray(scales)
+        state["ivf_vectors"] = wrap(q)
+        state["ivf_row_scales"] = wrap(scales)
         if refine:
-            state["ivf_refine"] = jnp.asarray(r4)
-            state["ivf_refine_scales"] = jnp.asarray(r4s)
+            state["ivf_refine"] = wrap(r4)
+            state["ivf_refine_scales"] = wrap(r4s)
         if meta.get("metric") == "l2":
             norms = (q.astype(np.float32) ** 2).sum(axis=1) * scales.astype(np.float64) ** 2
-            state["ivf_norms_sq"] = jnp.asarray(norms.astype(np.float32))
+            state["ivf_norms_sq"] = wrap(norms.astype(np.float32))
     else:
-        state["ivf_vectors"] = jnp.asarray(np.asarray(vecs), dtype=dtype)
+        if device:
+            state["ivf_vectors"] = jnp.asarray(np.asarray(vecs), dtype=dtype)
+        else:
+            state["ivf_vectors"] = np.asarray(vecs).astype(dtype)
     return state
 
 

@@ -15,8 +15,16 @@ from lotus_tpu.parallel.distributed import (
     init_runtime,
     load_index_shard,
     save_index_shards,
+    serving_mesh,
 )
-from lotus_tpu.parallel.ivf import shard_ivf_state, sharded_ivf_search, sharded_ivf_search_pallas
+from lotus_tpu.parallel.ivf import (
+    load_sharded_ivf_state,
+    plan_ivf_shards,
+    save_ivf_shards,
+    shard_ivf_state,
+    sharded_ivf_search,
+    sharded_ivf_search_pallas,
+)
 
 __all__ = [
     "default_mesh",
@@ -26,8 +34,12 @@ __all__ = [
     "shard_ivf_state",
     "sharded_ivf_search",
     "sharded_ivf_search_pallas",
+    "plan_ivf_shards",
+    "save_ivf_shards",
+    "load_sharded_ivf_state",
     "init_runtime",
     "hybrid_mesh",
+    "serving_mesh",
     "save_index_shards",
     "load_index_shard",
 ]

@@ -90,6 +90,23 @@ def hybrid_mesh(host_axis: str = HOST_AXIS, chip_axis: str = CHIP_AXIS):
     return Mesh(devices, (host_axis, chip_axis))
 
 
+def serving_mesh(axis_name: str | None = None):
+    """Flat 1-D mesh over every chip, ordered so ICI neighbours are adjacent.
+
+    The vector-store serving topology: index shards over the single axis,
+    candidate merges all_gather over it.  Uses ``hybrid_mesh``'s
+    DCN-aware device ordering so intra-host hops ride ICI and only the
+    (k x devices)-tuple merge ever crosses DCN.  This is what
+    ``TpuVS.distributed()`` builds.
+    """
+    from jax.sharding import Mesh
+
+    from lotus_tpu.parallel.mesh import SHARD_AXIS
+
+    devices = hybrid_mesh().devices.reshape(-1)
+    return Mesh(devices, (axis_name or SHARD_AXIS,))
+
+
 # ---------------------------------------------------------------------------
 # Per-host shard persistence
 # ---------------------------------------------------------------------------

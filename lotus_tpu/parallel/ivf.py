@@ -24,14 +24,15 @@ from lotus_tpu.ops.flat import flat_search
 from lotus_tpu.parallel.mesh import SHARD_AXIS
 
 
-def shard_ivf_state(state: dict[str, Any], mesh: Mesh, axis_name: str = SHARD_AXIS) -> dict[str, Any]:
-    """Split a loaded IVF state (ops/ivf.load_ivf_state) across the mesh.
+def plan_ivf_shards(state: dict[str, Any], n_shards: int) -> tuple[dict[str, Any], list[dict[str, np.ndarray]]]:
+    """Host-side shard plan: contiguous list ranges with balanced row counts.
 
-    Host-side: assign contiguous list ranges to devices balancing total
-    rows, rebuild per-device storage with *local* offsets, pad to a common
-    shape, and place the stacked arrays with the leading axis sharded.
+    Returns ``(plan_meta, shards)``: per shard a dict of equal-shape arrays
+    (``vecs``, ``row_ids``, ``list_start``, ``owned``, optionally ``scales``
+    / ``norms``) padded to a common ``max_rows`` — the format both the
+    in-memory mesh placement (``shard_ivf_state``) and the per-host shard
+    persistence (``save_ivf_shards`` / ``load_sharded_ivf_state``) consume.
     """
-    n_dev = mesh.shape[axis_name]
     starts = np.asarray(state["ivf_list_start"])
     sizes = np.asarray(state["ivf_list_size"])
     vectors = np.asarray(state["ivf_vectors"])
@@ -42,75 +43,191 @@ def shard_ivf_state(state: dict[str, Any], mesh: Mesh, axis_name: str = SHARD_AX
 
     # Contiguous list ranges with balanced row counts.
     total = int(sizes.sum())
-    target = total / n_dev
+    target = total / n_shards
     bounds = [0]
     acc = 0
     for li in range(nlist):
         acc += int(sizes[li])
-        if acc >= target * len(bounds) and len(bounds) < n_dev:
+        if acc >= target * len(bounds) and len(bounds) < n_shards:
             bounds.append(li + 1)
-    while len(bounds) < n_dev + 1:
+    while len(bounds) < n_shards + 1:
         bounds.append(nlist)
     bounds[-1] = nlist
 
     per_dev = []
     max_rows = 0
     window = int(state["meta"]["probe_window"])
-    for d in range(n_dev):
+    for d in range(n_shards):
         lo, hi = bounds[d], bounds[d + 1]
         if hi > lo:
             row_lo = int(starts[lo])
             row_hi = int(starts[hi - 1] + sizes[hi - 1])
         else:
             row_lo = row_hi = 0
-        vecs = vectors[row_lo:row_hi]
-        ids = row_ids[row_lo:row_hi]
         local_start = np.full(nlist, 0, np.int32)
         owned = np.zeros(nlist, bool)
         if hi > lo:
             local_start[lo:hi] = starts[lo:hi] - row_lo
             owned[lo:hi] = True
-        per_dev.append((row_lo, row_hi, vecs, ids, local_start, owned))
-        max_rows = max(max_rows, len(vecs))
+        per_dev.append((row_lo, row_hi, local_start, owned))
+        max_rows = max(max_rows, row_hi - row_lo)
 
     # Window overshoot room; block-aligned builds keep every shard's row
     # count a BL multiple so the Pallas grouped probe can run per shard.
     align = max(8, int(state["meta"].get("block_align", 0)) or 8)
     max_rows = round_up(max_rows + window, align)
-    stacked_vecs = np.zeros((n_dev, max_rows, vectors.shape[1]), vectors.dtype)
-    stacked_ids = np.full((n_dev, max_rows), NO_HIT, np.int32)
-    stacked_start = np.zeros((n_dev, nlist), np.int32)
-    stacked_owned = np.zeros((n_dev, nlist), bool)
-    stacked_scales = np.zeros((n_dev, max_rows), np.float32) if scales is not None else None
-    stacked_norms = np.zeros((n_dev, max_rows), np.float32) if norms is not None else None
-    for d, (row_lo, row_hi, vecs, ids, local_start, owned) in enumerate(per_dev):
-        stacked_vecs[d, : len(vecs)] = vecs
-        stacked_ids[d, : len(ids)] = ids
-        stacked_start[d] = local_start
-        stacked_owned[d] = owned
-        if stacked_scales is not None:
-            stacked_scales[d, : row_hi - row_lo] = scales[row_lo:row_hi]
-        if stacked_norms is not None:
-            stacked_norms[d, : row_hi - row_lo] = norms[row_lo:row_hi]
 
-    shard = NamedSharding(mesh, P(axis_name))
-    row_shard = NamedSharding(mesh, P(axis_name, None))
+    shards: list[dict[str, np.ndarray]] = []
+    for row_lo, row_hi, local_start, owned in per_dev:
+        m = row_hi - row_lo
+        vecs = np.zeros((max_rows, vectors.shape[1]), vectors.dtype)
+        vecs[:m] = vectors[row_lo:row_hi]
+        ids = np.full(max_rows, NO_HIT, np.int32)
+        ids[:m] = row_ids[row_lo:row_hi]
+        shard: dict[str, np.ndarray] = {
+            "vecs": vecs,
+            "row_ids": ids,
+            "list_start": local_start,
+            "owned": owned,
+        }
+        if scales is not None:
+            sc = np.zeros(max_rows, np.float32)
+            sc[:m] = scales[row_lo:row_hi]
+            shard["scales"] = sc
+        if norms is not None:
+            nm = np.zeros(max_rows, np.float32)
+            nm[:m] = norms[row_lo:row_hi]
+            shard["norms"] = nm
+        shards.append(shard)
+    plan_meta = {"n_shards": n_shards, "max_rows": int(max_rows), "bounds": [int(b) for b in bounds]}
+    return plan_meta, shards
+
+
+def _place_shards(
+    shards: list[dict[str, np.ndarray]],
+    mesh: Mesh,
+    axis_name: str,
+    meta: dict[str, Any],
+    centroids: Any,
+    list_size: Any,
+) -> dict[str, Any]:
+    """Stack per-shard arrays and place them leading-axis-sharded.
+
+    Multi-process runs hand each process only its local shards (in mesh
+    order) via ``jax.make_array_from_process_local_data``; single-process
+    runs stack everything and ``device_put``.
+    """
+    names = list(shards[0].keys())
+    placed: dict[str, Any] = {}
+    multiproc = jax.process_count() > 1
+    for name in names:
+        stacked = np.stack([s[name] for s in shards])
+        spec = P(axis_name, *([None] * (stacked.ndim - 1)))
+        sharding = NamedSharding(mesh, spec)
+        if multiproc:
+            placed[name] = jax.make_array_from_process_local_data(sharding, stacked)
+        else:
+            placed[name] = jax.device_put(jnp.asarray(stacked), sharding)
     out = {
-        "meta": state["meta"],
-        "centroids": state["centroids"],  # replicated
-        "vecs": jax.device_put(jnp.asarray(stacked_vecs), NamedSharding(mesh, P(axis_name, None, None))),
-        "row_ids": jax.device_put(jnp.asarray(stacked_ids), row_shard),
-        "list_start": jax.device_put(jnp.asarray(stacked_start), row_shard),
-        "owned": jax.device_put(jnp.asarray(stacked_owned), shard if stacked_owned.ndim == 1 else row_shard),
-        "list_size": state["ivf_list_size"],  # replicated
+        "meta": meta,
+        "centroids": centroids,  # replicated
+        "vecs": placed["vecs"],
+        "row_ids": placed["row_ids"],
+        "list_start": placed["list_start"],
+        "owned": placed["owned"],
+        "list_size": list_size,  # replicated
         "mesh": mesh,
         "axis_name": axis_name,
     }
-    if stacked_scales is not None:
-        out["scales"] = jax.device_put(jnp.asarray(stacked_scales), row_shard)
-    if stacked_norms is not None:
-        out["norms"] = jax.device_put(jnp.asarray(stacked_norms), row_shard)
+    if "scales" in placed:
+        out["scales"] = placed["scales"]
+    if "norms" in placed:
+        out["norms"] = placed["norms"]
     return out
+
+
+def _local_shard_ids(mesh: Mesh, axis_name: str) -> list[int]:
+    """Mesh slots owned by this process, in mesh order (all, single-process)."""
+    devices = mesh.devices.reshape(-1)
+    if jax.process_count() > 1:
+        return [i for i, d in enumerate(devices) if d.process_index == jax.process_index()]
+    return list(range(len(devices)))
+
+
+def shard_ivf_state(state: dict[str, Any], mesh: Mesh, axis_name: str = SHARD_AXIS) -> dict[str, Any]:
+    """Split a loaded IVF state (ops/ivf.load_ivf_state) across the mesh.
+
+    Host-side: assign contiguous list ranges to devices balancing total
+    rows, rebuild per-device storage with *local* offsets, pad to a common
+    shape, and place the stacked arrays with the leading axis sharded.
+    """
+    n_dev = mesh.shape[axis_name]
+    _, shards = plan_ivf_shards(state, n_dev)
+    shards = [shards[i] for i in _local_shard_ids(mesh, axis_name)]
+    return _place_shards(
+        shards, mesh, axis_name, state["meta"], state["centroids"], state["ivf_list_size"]
+    )
+
+
+def save_ivf_shards(index_dir: str, state: dict[str, Any], num_shards: int) -> None:
+    """Persist a loaded (possibly quantized) IVF state as per-host shards.
+
+    The config-5 lifecycle (BASELINE.md): one process builds and writes
+    ``shard_<i>/`` slices + the JSON manifest; at serve time every host
+    reads only its own slice(s) (``load_sharded_ivf_state``).  Quantized
+    states persist their int8 vectors + scales, so reload skips the
+    (expensive) quantization pass entirely.
+    """
+    from lotus_tpu.parallel.distributed import save_index_shards
+
+    plan_meta, shards = plan_ivf_shards(state, num_shards)
+    shard_meta = {
+        **plan_meta,
+        "vec_dtype": str(np.asarray(shards[0]["vecs"]).dtype),
+        "encoding": state["meta"].get("encoding", ""),
+    }
+    for sid, arrays in enumerate(shards):
+        save_index_shards(
+            index_dir, arrays, shard_id=sid, num_shards=num_shards, meta=shard_meta
+        )
+
+
+def load_sharded_ivf_state(
+    index_dir: str,
+    meta: dict[str, Any],
+    mesh: Mesh,
+    axis_name: str = SHARD_AXIS,
+) -> dict[str, Any]:
+    """Load per-host index shards and place them across the mesh.
+
+    Each process reads only the shard files of its local mesh slots — the
+    DCN-scale reload path for BASELINE config 5 (a 100M-row store never
+    funnels through one host).  Requires a manifest written by
+    ``save_ivf_shards`` with one shard per mesh device.
+    """
+    from lotus_tpu.ops import io as index_io
+    from lotus_tpu.parallel.distributed import load_index_shard, shard_manifest
+
+    manifest = shard_manifest(index_dir)
+    n_dev = mesh.shape[axis_name]
+    if int(manifest["num_shards"]) != n_dev:
+        raise ValueError(
+            f"index has {manifest['num_shards']} shards but the mesh has {n_dev} "
+            f"devices along {axis_name!r}; rebuild or resize the mesh"
+        )
+    local_ids = _local_shard_ids(mesh, axis_name)
+    shards = [
+        {k: np.asarray(v) for k, v in load_index_shard(index_dir, sid).items()} for sid in local_ids
+    ]
+    # The quantization pass may have downgraded residual -> plain int8 when
+    # residuals were no smaller (load_ivf_state's sample check); the shard
+    # manifest records the encoding the persisted vectors actually use.
+    mmeta = manifest.get("meta", {})
+    if mmeta.get("encoding"):
+        meta = {**meta, "encoding": mmeta["encoding"]}
+    centroids = jnp.asarray(index_io.read_array(index_dir, "ivf_centroids", mmap=False))
+    list_size = jnp.asarray(index_io.read_array(index_dir, "ivf_list_size", mmap=False))
+    return _place_shards(shards, mesh, axis_name, meta, centroids, list_size)
 
 
 def sharded_ivf_search_pallas(

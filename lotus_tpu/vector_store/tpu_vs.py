@@ -66,6 +66,7 @@ class TpuVS(VS):
         spill_frac: float = 0.0,
         int8_refine: bool = False,
         rescore: Optional[int] = None,
+        scan: str = "auto",
     ) -> None:
         super().__init__()
         if index_type not in ("flat", "ivf"):
@@ -91,6 +92,13 @@ class TpuVS(VS):
         # queries — removes quantization rank flips at the top-k boundary.
         self.int8_refine = int8_refine
         self.rescore = rescore
+        # Flat-scan kernel choice: "auto" picks the streaming Pallas scan for
+        # large approximate bf16 batches (equal QPS, ~40% fewer top-k misses
+        # than approx_max_k — docs/benchmarks.md) and the XLA scan otherwise;
+        # "pallas"/"xla" force one.
+        if scan not in ("auto", "xla", "pallas"):
+            raise ValueError(f"scan must be 'auto', 'xla' or 'pallas', got {scan!r}")
+        self.scan = scan
         self.index_dir: str | None = None
         # Device-resident state for the currently loaded index.
         self._state: dict[str, Any] | None = None
@@ -105,6 +113,24 @@ class TpuVS(VS):
             # (the result is materialized before the clock stops).
             "total_wall_s": 0.0,
         }
+
+    def _mesh_devices(self) -> int:
+        return len(self.mesh.devices.flat) if self.mesh is not None else 1
+
+    @classmethod
+    def distributed(cls, **kwargs: Any) -> "TpuVS":
+        """A store sharded over every reachable chip (multi-host included).
+
+        Initializes the multi-process runtime when the environment declares
+        one (``parallel.distributed.init_runtime``), builds the DCN-aware
+        flat serving mesh, and returns a TpuVS over it: index builds persist
+        per-host shards, loads read only each host's slice, and searches
+        merge per-shard top-k over ICI/DCN (BASELINE.md config 5).
+        """
+        from lotus_tpu.parallel import init_runtime, serving_mesh
+
+        init_runtime()
+        return cls(mesh=serving_mesh(), **kwargs)
 
     # ------------------------------------------------------------------ build
     def index(
@@ -142,6 +168,17 @@ class TpuVS(VS):
             if self.device_dtype == "int8" and self.int8_encoding == "residual" and self.metric != "l2":
                 meta["encoding"] = "residual_int8"
         index_io.write_meta(index_dir, meta)
+        if meta["kind"] == "ivf" and self._mesh_devices() > 1:
+            # Config-5 lifecycle: persist one shard per mesh slot so that at
+            # serve time each host reads only its own slice (and quantization
+            # never re-runs).  parallel/distributed.py holds the shard IO.
+            from lotus_tpu.ops.ivf import load_ivf_state
+            from lotus_tpu.parallel import save_ivf_shards
+
+            dtype = _DTYPE_NAMES[self.device_dtype]
+            full = load_ivf_state(index_dir, meta, dtype, refine_int4=False, device=False)
+            full["meta"] = full.get("meta", meta)
+            save_ivf_shards(index_dir, full, self._mesh_devices())
         self.index_dir = index_dir
         self._state = None  # lazily materialized on first search
 
@@ -165,13 +202,25 @@ class TpuVS(VS):
         if meta["kind"] == "ivf":
             from lotus_tpu.ops.ivf import load_ivf_state
 
-            state.update(load_ivf_state(self.index_dir, meta, dtype, refine_int4=self.int8_refine))
-            if self.mesh is not None and len(self.mesh.devices.flat) > 1:
-                from lotus_tpu.parallel import shard_ivf_state
+            if self._mesh_devices() > 1 and index_io.has_shard_manifest(self.index_dir):
+                # Shard-persisted index: each host loads only its own slices
+                # (the config-5 reload path) — the monolithic arrays never
+                # materialize, halving HBM vs the round-2 in-memory split.
+                from lotus_tpu.parallel import load_sharded_ivf_state
 
-                ivf_full = dict(state)
-                ivf_full["meta"] = meta
-                state["ivf_sharded"] = shard_ivf_state(ivf_full, self.mesh)
+                sharded = load_sharded_ivf_state(self.index_dir, meta, self.mesh)
+                state["meta"] = sharded["meta"]
+                state["ivf_sharded"] = sharded
+            else:
+                state.update(
+                    load_ivf_state(self.index_dir, meta, dtype, refine_int4=self.int8_refine)
+                )
+                if self._mesh_devices() > 1:
+                    from lotus_tpu.parallel import shard_ivf_state
+
+                    ivf_full = dict(state)
+                    ivf_full["meta"] = meta
+                    state["ivf_sharded"] = shard_ivf_state(ivf_full, self.mesh)
         else:
             # Flat index: the scan array IS the index; build it eagerly.
             self._ensure_flat_arrays(state)
@@ -287,6 +336,32 @@ class TpuVS(VS):
         hit_ids = jnp.where(pos >= 0, jnp.take(jnp.asarray(ids_padded), jnp.maximum(pos, 0)), -1)
         return dists, hit_ids
 
+    def _disk_subset_search(
+        self, state: dict[str, Any], xq: jnp.ndarray, k: int, ids: list[int]
+    ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Exact subset search sourcing rows from the on-disk f32 vectors.
+
+        Used when the device state is shard-only (config-5 reload): the
+        monolithic quantized arrays never materialize, and an ids-restricted
+        search only needs O(|ids| x d) — mmap-gathered exactly, at full f32
+        fidelity (better than the device store's int8).
+        """
+        meta = state["meta"]
+        vecs = index_io.read_array(self.index_dir, "vectors")
+        ids_np = np.asarray(ids, dtype=np.int64)
+        m = ids_np.shape[0]
+        m_pad = self._subset_bucket(m, self.block_rows)
+        sub = np.zeros((m_pad, vecs.shape[1]), np.float32)
+        sub[:m] = vecs[ids_np]
+        dists, pos = flat_search(
+            jnp.asarray(sub), xq, min(k, m), metric=meta["metric"], n_rows=m,
+            block_rows=self.block_rows,
+        )
+        ids_padded = np.zeros(m_pad, np.int64)
+        ids_padded[:m] = ids_np
+        hit_ids = jnp.where(pos >= 0, jnp.take(jnp.asarray(ids_padded), jnp.maximum(pos, 0)), -1)
+        return dists, hit_ids
+
     # ----------------------------------------------------------------- search
     def __call__(
         self,
@@ -322,8 +397,15 @@ class TpuVS(VS):
         # - ids-restricted searches on IVF gather just the allowed rows and
         #   scan them exactly (no second full-size array); on flat indexes
         #   the scan array doubles as the index and a mask suffices.
-        if meta["kind"] == "ivf" and ids is not None and "ivf_sharded" not in state:
-            dists, idx = self._ivf_subset_search(state, jnp.asarray(xq), k_eff, ids)
+        if meta["kind"] == "ivf" and ids is not None:
+            # Subset-gather works from the IVF storage directly — including
+            # under a mesh (the gathered O(|ids| x d) slab is tiny next to the
+            # round-1/2 fallback of re-materializing a full flat copy).
+            # Shard-only states (config-5 reload) gather from disk instead.
+            if "ivf_vectors" in state:
+                dists, idx = self._ivf_subset_search(state, jnp.asarray(xq), k_eff, ids)
+            else:
+                dists, idx = self._disk_subset_search(state, jnp.asarray(xq), k_eff, ids)
             return self._finish_output(dists, idx, xq, k_eff, K, ids, t_start)
 
         use_ivf = meta["kind"] == "ivf" and ids is None
@@ -400,13 +482,56 @@ class TpuVS(VS):
                     xb_scales=state.get("xb_scales_sharded"),
                 )
             else:
-                dists, idx = flat_search(
-                    state["xb"], jnp.asarray(xq), k_eff,
-                    metric=meta["metric"], n_rows=n, valid=valid,
-                    xb_norms_sq=state["xb_norms_sq"],
-                    block_rows=self.block_rows, approx=self.approx,
-                    xb_scales=state.get("xb_scales"),
+                xb = state["xb"]
+                xq_dev = jnp.asarray(xq)
+                on_tpu = jax.default_backend() == "tpu" or self._pallas_interpret
+                # int8 flat scans get exact top-k rescoring by default: the
+                # same trick as the IVF path, worth ~2 recall points at the
+                # top-k boundary for O(B x rescore x d) extra FLOPs.
+                rescore = kwargs.get("rescore", self.rescore)
+                if rescore is None and xb.dtype == jnp.int8:
+                    rescore = 32
+                do_rescore = (
+                    rescore is not None and xb.dtype == jnp.int8
+                    and meta["metric"] in ("ip", "cosine") and on_tpu
                 )
+                k_cand = max(k_eff, int(rescore)) if do_rescore else k_eff
+                scan = kwargs.get("scan", self.scan)
+                use_pallas_flat = (
+                    on_tpu and valid is None and meta["metric"] in ("ip", "cosine")
+                    and xb.shape[0] % 1024 == 0
+                    and (
+                        scan == "pallas"
+                        or (
+                            scan == "auto" and self.approx and xq.shape[0] >= 256
+                            and xb.dtype == jnp.bfloat16
+                        )
+                    )
+                )
+                if use_pallas_flat:
+                    from lotus_tpu.ops.pallas_flat import flat_search_pallas
+
+                    dists, idx = flat_search_pallas(
+                        xb, xq_dev, k_cand, n_rows=n,
+                        xb_scales=state.get("xb_scales"),
+                        interpret=self._pallas_interpret,
+                    )
+                else:
+                    dists, idx = flat_search(
+                        xb, xq_dev, k_cand,
+                        metric=meta["metric"], n_rows=n, valid=valid,
+                        xb_norms_sq=state["xb_norms_sq"],
+                        block_rows=self.block_rows, approx=self.approx,
+                        xb_scales=state.get("xb_scales"),
+                    )
+                if do_rescore:
+                    from lotus_tpu.ops.flat import flat_rescore
+
+                    dists, idx = flat_rescore(
+                        xb, xq_dev, idx, k_eff, xb_scales=state.get("xb_scales")
+                    )
+                else:
+                    dists, idx = dists[:, :k_eff], idx[:, :k_eff]
 
         return self._finish_output(dists, idx, xq, k_eff, K, ids, t_start)
 

@@ -272,3 +272,88 @@ def test_index_shard_roundtrip(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         load_index_shard(root, 9)
+
+
+def test_tpu_vs_config5_shard_lifecycle(mesh, tmp_path):
+    """BASELINE config-5 structural path through the PRODUCT store: index()
+    persists per-host shards, a fresh TpuVS reloads only shard files (no
+    monolithic arrays on device), the sharded probe matches a single-device
+    store, and ids-subset search avoids the flat-copy fallback."""
+    from lotus_tpu.vector_store.tpu_vs import TpuVS
+
+    rng = np.random.default_rng(11)
+    n, d, b = 512 * 8, 32, 8
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:b] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+    idx_dir = str(tmp_path / "cfg5")
+
+    builder = TpuVS(index_type="ivf", metric="ip", device_dtype="int8", nlist=8, mesh=mesh)
+    builder.index([f"doc {i}" for i in range(n)], emb, idx_dir)
+    assert (tmp_path / "cfg5" / "shards.json").exists()
+
+    server = TpuVS(index_type="ivf", metric="ip", device_dtype="int8", nprobe=8, mesh=mesh)
+    server._pallas_interpret = True
+    server.load_index(idx_dir)
+    out = server(queries, 5)
+    state = server._state
+    assert state is not None and "ivf_sharded" in state and "ivf_vectors" not in state
+
+    solo = TpuVS(index_type="ivf", metric="ip", device_dtype="int8", nprobe=8)
+    solo._pallas_interpret = True
+    solo.load_index(idx_dir)
+    ref = solo(queries, 5)
+    overlap = np.mean([
+        len(set(a) & set(r)) / 5.0 for a, r in zip(out.indices, ref.indices)
+    ])
+    assert overlap >= 0.9, overlap
+
+    # ids-restricted search on the shard-only state: exact disk-subset path,
+    # never a full flat copy (state must stay shard-only afterwards).
+    allowed = list(range(0, n, 3))
+    sub = server(queries, 5, ids=allowed)
+    assert "xb" not in server._state
+    allowed_set = set(allowed)
+    for row in sub.indices:
+        assert all(v in allowed_set or v == -1 for v in row)
+    # Exact subset parity with brute force over the allowed rows.
+    sims = queries @ emb[allowed].T
+    for q in range(b):
+        want = {allowed[j] for j in np.argsort(-sims[q])[:5]}
+        assert len(want & set(sub.indices[q])) >= 4
+
+
+def test_save_load_sharded_ivf_state_roundtrip(mesh, tmp_path):
+    """plan -> save -> load_sharded round trip preserves the probe result."""
+    from lotus_tpu.ops.ivf import build_ivf, load_ivf_state
+    from lotus_tpu.parallel import load_sharded_ivf_state, save_ivf_shards, shard_ivf_state
+    from lotus_tpu.parallel.ivf import sharded_ivf_search
+
+    rng = np.random.default_rng(12)
+    n, d, b, k = 4096, 16, 6, 5
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    idx_dir = str(tmp_path / "rt")
+    meta = {"kind": "ivf", "metric": "ip", **build_ivf(idx_dir, emb, nlist=8, metric="ip")}
+    state = load_ivf_state(idx_dir, meta, jnp.float32)
+    state["meta"] = meta
+    queries = emb[:b]
+
+    mem = shard_ivf_state(state, mesh)
+    d_mem, i_mem = sharded_ivf_search(mem, jnp.asarray(queries), k, nprobe=8, metric="ip")
+
+    host_state = load_ivf_state(idx_dir, meta, jnp.float32, device=False)
+    host_state["meta"] = meta
+    save_ivf_shards(idx_dir, host_state, mesh.devices.size)
+    disk = load_sharded_ivf_state(idx_dir, meta, mesh)
+    d_dk, i_dk = sharded_ivf_search(disk, jnp.asarray(queries), k, nprobe=8, metric="ip")
+
+    np.testing.assert_array_equal(np.asarray(i_mem), np.asarray(i_dk))
+    np.testing.assert_allclose(np.asarray(d_mem), np.asarray(d_dk), rtol=1e-5)
+
+    # Mesh-size mismatch is rejected up front.
+    from jax.sharding import Mesh
+
+    if mesh.devices.size >= 2:
+        half = Mesh(mesh.devices.reshape(-1)[: mesh.devices.size // 2], (mesh.axis_names[0],))
+        with pytest.raises(ValueError, match="shards"):
+            load_sharded_ivf_state(idx_dir, meta, half)

@@ -185,6 +185,47 @@ def _flat_search_impl(
     return best_s, best_i
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def _flat_rescore_impl(
+    xq: jnp.ndarray,
+    cand_i: jnp.ndarray,
+    xb: jnp.ndarray,
+    xb_scales: Optional[jnp.ndarray],
+    k: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    v = jnp.take(xb, jnp.maximum(cand_i, 0), axis=0).astype(jnp.float32)
+    if xb_scales is not None:
+        v = v * jnp.take(xb_scales, jnp.maximum(cand_i, 0), axis=0)[..., None]
+    s = jnp.einsum(
+        "qd,qmd->qm", xq, v, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    s = jnp.where(cand_i == NO_HIT, MASK_SCORE, s)
+    top_s, pos = jax.lax.top_k(s, min(k, s.shape[1]))
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    top_i = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_i)
+    return top_s, top_i
+
+
+def flat_rescore(
+    xb: jnp.ndarray,
+    xq: jnp.ndarray,
+    cand_i: jnp.ndarray,
+    k: int,
+    *,
+    xb_scales: Optional[jnp.ndarray] = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact f32 re-rank of flat-scan candidates (ip/cosine).
+
+    The IVF trick (ops/ivf.rescore_candidates) applied to the flat path:
+    take the approximate scan's top-``len(cand)`` candidate rows, rebuild
+    them at f32 (int8 storage dequantizes by its per-row scale) and re-rank
+    with full-precision queries — removing the quantization/approx rank
+    flips at the top-k boundary for O(B x rescore x d) extra FLOPs.
+    """
+    return _flat_rescore_impl(xq.astype(jnp.float32), cand_i, xb, xb_scales, k)
+
+
 def flat_search(
     xb: jnp.ndarray,
     xq: jnp.ndarray,

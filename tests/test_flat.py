@@ -141,3 +141,35 @@ def test_flat_int8_requires_scales():
     xb = (rng.integers(-127, 127, (64, 8))).astype(np.int8)
     with pytest.raises(ValueError, match="xb_scales"):
         flat_search(jnp.asarray(xb), jnp.asarray(rng.standard_normal((2, 8)).astype(np.float32)), 3)
+
+
+def test_flat_rescore_exact_reranking():
+    """flat_rescore re-ranks int8 candidates at exact f32: the final top-k
+    equals brute force whenever the candidate pool contains the true top-k."""
+    import jax.numpy as jnp
+
+    from lotus_tpu.ops.flat import flat_rescore, flat_search
+    from lotus_tpu.ops.quant import quantize_rows
+
+    rng = np.random.default_rng(17)
+    n, d, b, k = 4096, 48, 6, 5
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+    xq = xb[:b] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+
+    q, scales = quantize_rows(jnp.asarray(xb))
+    # Approximate pass with headroom, then exact rescore down to k.
+    _, cand = flat_search(q, jnp.asarray(xq), 32, metric="ip", xb_scales=scales)
+    top_s, top_i = flat_rescore(q, jnp.asarray(xq), cand, k, xb_scales=scales)
+
+    sims = xq @ xb.T
+    for row in range(b):
+        want = set(np.argsort(-sims[row])[:k])
+        got = set(np.asarray(top_i)[row])
+        assert len(want & got) >= k - 1, (row, want, got)
+        # Scores are f32-exact for the reconstructed (quantized) rows.
+        rec = np.asarray(q, np.float32) * np.asarray(scales)[:, None]
+        for col, idx in enumerate(np.asarray(top_i)[row]):
+            np.testing.assert_allclose(
+                float(np.asarray(top_s)[row, col]), float(xq[row] @ rec[idx]), rtol=1e-4
+            )

@@ -303,3 +303,54 @@ def test_tpuvs_int8_refine_rescore(tmp_path):
     assert recall >= 0.97, recall
     state = vs._state
     assert "ivf_refine" in state
+
+
+def test_flat_int8_rescore_default(tmp_path, data):
+    """int8 flat stores rescore exactly by default (on the TPU-style path):
+    results match the f32 brute force despite quantized storage."""
+    emb, queries = data
+    vs = TpuVS(index_type="flat", metric="ip", device_dtype="int8")
+    vs._pallas_interpret = True  # enables the on-TPU planner branches on CPU
+    vs.index([str(i) for i in range(len(emb))], emb, str(tmp_path / "i8r"))
+    out = vs(queries, 10)
+    want = brute_topk(emb, queries, 10)
+    overlap = np.mean([
+        len(set(r) & set(w)) / 10.0 for r, w in zip(out.indices, want)
+    ])
+    assert overlap >= 0.95, overlap
+    # Rescored distances are exact f32 dots against the QUANTIZED rows
+    # (reconstruction = int8 * scale), close to the true f32 similarity.
+    for q in range(3):
+        for col, idx in enumerate(out.indices[q][:3]):
+            np.testing.assert_allclose(
+                out.distances[q][col], float(queries[q] @ emb[idx]), rtol=2e-2
+            )
+
+
+def test_flat_scan_pallas_forced_matches_xla(tmp_path):
+    """scan='pallas' routes the flat search through the streaming kernel
+    (interpret mode) and agrees with the XLA scan."""
+    rng = np.random.default_rng(5)
+    n, d, b, k = 2048, 32, 8, 5
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:b] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+
+    ref = TpuVS(index_type="flat", metric="ip", device_dtype="bfloat16", block_rows=1024)
+    ref.index([str(i) for i in range(n)], emb, str(tmp_path / "xla"))
+    want = ref(queries, k)
+
+    vs = TpuVS(index_type="flat", metric="ip", device_dtype="bfloat16",
+               block_rows=1024, scan="pallas")
+    vs._pallas_interpret = True
+    vs.load_index(str(tmp_path / "xla"))
+    got = vs(queries, k)
+    overlap = np.mean([
+        len(set(r) & set(w)) / k for r, w in zip(got.indices, want.indices)
+    ])
+    assert overlap >= 0.9, overlap
+
+
+def test_tpuvs_scan_knob_validation():
+    with pytest.raises(ValueError, match="scan"):
+        TpuVS(scan="fused")

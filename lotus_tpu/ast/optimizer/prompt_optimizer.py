@@ -243,6 +243,177 @@ class GEPAOptimizer(_PromptOptimizerBase):
         return apply_candidate(nodes, best, targets)
 
 
+class PromptEvolutionOptimizer(_PromptOptimizerBase):
+    """Dependency-free GEPA-style evolutionary prompt search.
+
+    Matches the reference GEPA loop's structure
+    (``lotus/ast/optimizer/gepa_optimizer.py:464-514,690-745``) without the
+    external package: candidates are full target->instruction maps scored by
+    re-executing the patched pipeline per training example with the user's
+    ``eval_fn`` (per-example score VECTORS, not just means); parents are
+    sampled from the Pareto frontier weighted by how many examples each
+    frontier member wins; children come from (a) reflection-LM mutation of
+    one target, prompted with the worst examples' side info, or (b) a merge
+    of two frontier parents (per-target values from whichever parent scores
+    better).  The search stops at ``max_evals`` candidate evaluations and
+    returns the archive member with the best mean score on ``valset`` (or
+    the train set).
+    """
+
+    def __init__(
+        self,
+        eval_fn: UserEvalFn,
+        *,
+        max_evals: int = 12,
+        merge_prob: float = 0.25,
+        seed: int = 0,
+        **kwargs: Any,
+    ) -> None:
+        super().__init__(eval_fn, **kwargs)
+        self.max_evals = max_evals
+        self.merge_prob = merge_prob
+        self.seed = seed
+
+    # ----------------------------------------------------------- LM proposal
+    def _reflect(self, current: str, description: str, feedback: list[str]) -> str | None:
+        from lotus_tpu.settings import settings
+
+        if settings.lm is None:
+            return None
+        fb = "\n".join(f"- {f}" for f in feedback[:4]) or "- (no failures recorded)"
+        prompt = (
+            "You are evolving an instruction inside a data-processing pipeline. "
+            "Study the failure feedback, then rewrite the instruction to fix "
+            "those failures while preserving intent and any {column} "
+            "placeholders EXACTLY as written.\n"
+            f"Parameter description: {description or 'n/a'}\n"
+            f"Failure feedback from the worst-scoring training examples:\n{fb}\n"
+            f"Current instruction:\n{current}\n\n"
+            "Return ONLY the rewritten instruction, nothing else."
+        )
+        try:
+            out = settings.lm.get_completion(
+                "You improve prompts for semantic data operators.",
+                prompt,
+                show_progress_bar=False,
+            )
+            out = str(out).strip()
+            return out if out and out != current else None
+        except Exception as e:
+            lotus_tpu.logger.warning(f"PromptEvolutionOptimizer: reflection failed: {e}")
+            return None
+
+    # ---------------------------------------------------------------- search
+    @staticmethod
+    def _pareto_frontier(archive: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        """Members whose per-example score vector is not dominated."""
+        frontier = []
+        for a in archive:
+            dominated = any(
+                all(o >= s for o, s in zip(b["scores"], a["scores"]))
+                and any(o > s for o, s in zip(b["scores"], a["scores"]))
+                for b in archive
+                if b is not a
+            )
+            if not dominated:
+                frontier.append(a)
+        return frontier
+
+    def optimize(self, nodes: list[BaseNode], train_data: Any = None) -> list[BaseNode]:
+        import random
+
+        if train_data is None:
+            raise ValueError("PromptEvolutionOptimizer requires train_data")
+        targets = collect_targets(nodes)
+        if not targets:
+            lotus_tpu.logger.warning("PromptEvolutionOptimizer: no optimizable targets found")
+            return nodes
+        examples = self._examples(train_data)
+        val_examples = self._examples(self._valset) if self._valset is not None else examples
+        rng = random.Random(self.seed)
+
+        def evaluate(values: dict[str, str]) -> dict[str, Any]:
+            patched = apply_candidate(nodes, values, targets)
+            scores, infos = [], []
+            for ex in examples:
+                s, info = self._score(patched, ex)
+                scores.append(s)
+                infos.append(info)
+            return {"values": values, "scores": scores, "infos": infos}
+
+        seed_values = {
+            t.key(): str(resolve_target(nodes, t).resolve_optimizable_param_value(t.param))
+            for t in targets
+        }
+        archive = [evaluate(seed_values)]
+        evals = 1
+
+        while evals < self.max_evals:
+            frontier = self._pareto_frontier(archive)
+            # GEPA-style parent sampling: weight frontier members by the
+            # number of examples on which they hold the best score.
+            best_per_ex = [max(m["scores"][i] for m in archive) for i in range(len(examples))]
+            weights = [
+                1 + sum(1 for i, s in enumerate(m["scores"]) if s >= best_per_ex[i])
+                for m in frontier
+            ]
+            parent = rng.choices(frontier, weights=weights, k=1)[0]
+
+            child_values: dict[str, str] | None = None
+            if len(frontier) >= 2 and rng.random() < self.merge_prob:
+                other = rng.choice([m for m in frontier if m is not parent])
+                p_mean = sum(parent["scores"]) / len(examples)
+                o_mean = sum(other["scores"]) / len(examples)
+                lead, trail = (parent, other) if p_mean >= o_mean else (other, parent)
+                child_values = dict(lead["values"])
+                diff = [k for k in child_values if child_values[k] != trail["values"][k]]
+                if diff:  # graft one trailing-parent gene
+                    k = rng.choice(diff)
+                    child_values[k] = trail["values"][k]
+                else:
+                    child_values = None
+            if child_values is None:
+                target = rng.choice(targets)
+                node = resolve_target(nodes, target)
+                desc = node.optimizable_param_description(target.param)
+                # Reflection feedback: side info of the worst-scoring examples.
+                order = sorted(range(len(examples)), key=lambda i: parent["scores"][i])
+                feedback = []
+                for i in order[:4]:
+                    info = parent["infos"][i]
+                    msg = info.get("error") or info.get("feedback")
+                    if msg is None and self._include_output_in_side_info:
+                        msg = f"score {parent['scores'][i]:.3f} on example {i}"
+                    if msg:
+                        feedback.append(str(msg))
+                proposal = self._reflect(parent["values"][target.key()], desc, feedback)
+                if proposal is None:
+                    break  # no LM or nothing new to try
+                child_values = {**parent["values"], target.key(): proposal}
+
+            if any(m["values"] == child_values for m in archive):
+                evals += 1
+                continue
+            child = evaluate(child_values)
+            evals += 1
+            archive.append(child)
+            lotus_tpu.logger.info(
+                f"PromptEvolutionOptimizer: candidate {evals} mean score "
+                f"{sum(child['scores']) / len(examples):.4f}"
+            )
+
+        # Final selection on the validation set (re-executed).
+        def val_mean(values: dict[str, str]) -> float:
+            patched = apply_candidate(nodes, values, targets)
+            return sum(self._score(patched, ex)[0] for ex in val_examples) / max(
+                len(val_examples), 1
+            )
+
+        frontier = self._pareto_frontier(archive)
+        best = max(frontier, key=lambda m: val_mean(m["values"]))
+        return apply_candidate(nodes, best["values"], targets)
+
+
 class PromptHillClimbOptimizer(_PromptOptimizerBase):
     """Built-in LLM-guided prompt search: propose rewrites with settings.lm,
     keep any candidate that improves the mean eval score (greedy

@@ -206,3 +206,48 @@ def test_prompt_hill_climb_improves_metric(tmp_path):
     from lotus_tpu.ast.nodes import SemFilterNode
     filt = next(n for n in tuned._nodes if isinstance(n, SemFilterNode))
     assert "sentiment" in filt.user_instruction
+
+
+def test_prompt_evolution_optimizer_nested_lazyframe():
+    """GEPA-style evolutionary search fixes an instruction INSIDE a nested
+    LazyFrame (the join's right side), proving path-addressed candidate
+    application plus Pareto/mutation search end-to-end."""
+    from lotus_tpu.ast.optimizer.prompt_optimizer import PromptEvolutionOptimizer
+
+    def responder(prompt, msgs, **kw):
+        text = str(prompt)
+        if "Return ONLY the rewritten instruction" in text:
+            return "keep rows where {desc} names an animal"
+        if "animal" in text:  # good nested-filter instruction
+            return "Answer: True" if ("cat" in text or "dog" in text) else "Answer: False"
+        if "Answer: True or Answer: False" in text or "True or False" in text:
+            return "Answer: True"  # bad instruction: keep everything
+        return "Answer: True"
+
+    lotus_tpu.settings.configure(lm=make_lm(responder), enable_cache=False)
+
+    left = pd.DataFrame({"name": ["pet"]})
+    right_df = pd.DataFrame({"desc": ["cat", "dog", "chair", "spoon"]})
+
+    # The right side is its own (bound) LazyFrame whose filter instruction
+    # is the thing that needs fixing — a nested, path-addressed target.
+    right_lf = LazyFrame(right_df).sem_filter("keep the good {desc}")
+    lf = LazyFrame().sem_join(right_lf, "does {name:left} match {desc:right}?")
+
+    from lotus_tpu.ast.optimizer.prompt_optimizer import collect_targets
+
+    targets = collect_targets(lf._nodes)
+    assert [t for t in targets if t.lf_path], "expected a nested target"
+
+    def eval_fn(output, example):
+        got = set(output["desc"]) if "desc" in output else set()
+        want = {"cat", "dog"}
+        return (len(got & want) - len(got - want)) / 2
+
+    baseline = eval_fn(lf.execute(left), left)
+    assert baseline < 1.0  # bad nested instruction keeps chair/spoon too
+
+    opt = PromptEvolutionOptimizer(eval_fn, max_evals=6, merge_prob=0.0, seed=0)
+    tuned_nodes = opt.optimize(lf._nodes, train_data=left)
+    tuned = LazyFrame(_nodes=tuned_nodes)
+    assert eval_fn(tuned.execute(left), left) == 1.0

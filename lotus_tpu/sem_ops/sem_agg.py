@@ -120,6 +120,10 @@ def sem_agg(
         lotus_tpu.logger.warning("Safe mode is not implemented for sem_agg yet")
 
     texts = docs.docs if isinstance(docs, ChunkedDocument) else list(docs)
+    if not texts:
+        # Aggregating nothing: no LM call, one empty answer (keeps the
+        # one-row output contract without inventing content).
+        return SemanticAggOutput(outputs=[""])
     # Unique ids per row mean partitions carry no grouping signal: pure fold.
     respect_pids = len(partition_ids) != len(set(partition_ids))
 

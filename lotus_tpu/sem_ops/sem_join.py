@@ -149,13 +149,24 @@ def sem_join(
 
 
 def run_sem_sim_join(l1: pd.Series | pd.DataFrame, l2: pd.Series, col1_label: str, col2_label: str) -> pd.DataFrame:
-    """Similarity-join proxy: index the right side, K=|right| join, calibrated scores."""
-    left_frame = l1.to_frame(name=col1_label) if isinstance(l1, pd.Series) else l1
-    right_frame = l2.to_frame(name=col2_label).sem_index(col2_label, f"{col2_label}_index")
+    """Similarity-join proxy: index the right side, K=|right| join, calibrated scores.
 
-    scored = left_frame.sem_sim_join(
-        right_frame, left_on=col1_label, right_on=col2_label, K=len(l2), keep_index=True
-    )
+    The helper index is transient — it lives in a throwaway temp directory
+    (never a cwd-relative path derived from a user column name, which would
+    litter the working directory and collide across concurrent joins).
+    """
+    import shutil
+    import tempfile
+
+    left_frame = l1.to_frame(name=col1_label) if isinstance(l1, pd.Series) else l1
+    tmp = tempfile.mkdtemp(prefix="lotus_joinproxy_")
+    try:
+        right_frame = l2.to_frame(name=col2_label).sem_index(col2_label, tmp)
+        scored = left_frame.sem_sim_join(
+            right_frame, left_on=col1_label, right_on=col2_label, K=len(l2), keep_index=True
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     scored["_scores"] = calibrate_sem_sim_join(scored["_scores"].tolist())
     return scored
 

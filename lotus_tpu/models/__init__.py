@@ -10,6 +10,7 @@ from lotus_tpu.models.rm import RM
 from lotus_tpu.models.reranker import Reranker
 from lotus_tpu.models.transport import CallableTransport, Completion, CompletionUsage, LiteLLMTransport, Transport
 from lotus_tpu.models.fake import FakeTransport, HashRM, make_fake_lm
+from lotus_tpu.models.tfidf_rm import TfidfRM
 
 __all__ = [
     "LM",
@@ -22,6 +23,7 @@ __all__ = [
     "CallableTransport",
     "FakeTransport",
     "HashRM",
+    "TfidfRM",
     "make_fake_lm",
 ]
 

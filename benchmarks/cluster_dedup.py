@@ -15,9 +15,18 @@ from lotus_tpu.ops import kmeans_fit
 from lotus_tpu.ops.flat import flat_search
 
 
-def run(n: int = 200_000, d: int = 384, k: int = 256, iters: int = 10) -> dict[str, Any]:
-    corpus = make_corpus(n, d)
-    x = jnp.asarray(corpus)
+def run(n: int = 200_000, d: int = 384, k: int = 256, iters: int = 10, spec: bool = False) -> dict[str, Any]:
+    """``spec=True`` runs BASELINE config 3 at full scale: 1M x 768-d
+    k-means with k=1024 (device-generated corpus — host RNG at this size
+    would dominate wall time on this dev box)."""
+    if spec:
+        n, d, k = 1_000_000, 768, 1024
+        from benchmarks.common import make_corpus_device
+
+        x = make_corpus_device(n, d, seed=0)
+    else:
+        corpus = make_corpus(n, d)
+        x = jnp.asarray(corpus)
 
     t0 = time.perf_counter()
     res = kmeans_fit(x, k, iters=iters, key=jax.random.PRNGKey(0))

@@ -33,6 +33,39 @@ def exact_topk(corpus: np.ndarray, queries: np.ndarray, k: int) -> np.ndarray:
     return np.argsort(-scores, axis=1)[:, :k]
 
 
+def make_corpus_device(n: int, d: int, seed: int = 0, n_clusters: int | None = None):
+    """Device-resident clustered unit corpus (spec-scale suites).
+
+    The dev host's single slow core makes host-side generation of
+    100k x 768+ corpora the bottleneck (SURVEY/roadmap notes); generating on
+    device matches bench.py's methodology and keeps suite wall times about
+    the search, not numpy RNG.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lotus_tpu.ops.bench_data import _gen_chunk
+
+    n_clusters = n_clusters or max(8, int(np.sqrt(n) / 4))
+    k_centers, k_chunk = jax.random.split(jax.random.PRNGKey(seed))
+    centers = jax.random.normal(k_centers, (n_clusters, d), jnp.float32)
+    return _gen_chunk(k_chunk, centers, n, d, n_clusters, 2.5)
+
+
+def exact_topk_device(corpus, queries, k: int) -> np.ndarray:
+    """f32 exact oracle on device (HIGHEST precision) — for corpora whose
+    host-side oracle matmul would dominate the suite's wall time."""
+    import jax.numpy as jnp
+
+    from lotus_tpu.ops.common import fetch_int32
+    from lotus_tpu.ops.flat import flat_search
+
+    _, idx = flat_search(
+        jnp.asarray(corpus, jnp.float32), jnp.asarray(queries, jnp.float32), k, metric="ip"
+    )
+    return fetch_int32(idx)
+
+
 def recall_at_k(got: np.ndarray, truth: np.ndarray) -> float:
     k = truth.shape[1]
     return float(np.mean([len(set(got[i, :k]) & set(truth[i])) / k for i in range(len(truth))]))

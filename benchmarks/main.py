@@ -32,7 +32,7 @@ def run(name: str, **kwargs) -> None:
     print(f"=== {name} ===\n")
 
     if hasattr(bm, "run"):  # retrieval-substrate suite
-        metrics = bm.run(**{k: v for k, v in kwargs.items() if v is not None and k in {"n", "d", "b", "k"}})
+        metrics = bm.run(**{k: v for k, v in kwargs.items() if v is not None and k in {"n", "d", "b", "k", "spec"}})
         _print(metrics)
         return
 
@@ -66,5 +66,8 @@ if __name__ == "__main__":
     parser.add_argument("--b", type=int, default=None)
     parser.add_argument("--k", type=int, default=None)
     parser.add_argument("--max-metric-calls", type=int, default=50)
+    parser.add_argument("--spec", action="store_true",
+                        help="run the suite at its BASELINE.md config scale")
     args = parser.parse_args()
-    run(args.benchmark, n=args.n, d=args.d, b=args.b, k=args.k, max_metric_calls=args.max_metric_calls)
+    run(args.benchmark, n=args.n, d=args.d, b=args.b, k=args.k,
+        spec=args.spec or None, max_metric_calls=args.max_metric_calls)

@@ -28,15 +28,31 @@ class _PrecomputedRM(RM):
         return self.vectors[rows]
 
 
-def run(n_left: int = 5_000, n_right: int = 50_000, d: int = 384, k: int = 5) -> dict[str, Any]:
-    right_vecs = make_corpus(n_right, d, seed=0)
-    left_vecs = make_corpus(n_left, d, seed=1)
+def run(
+    n_left: int = 5_000, n_right: int = 50_000, d: int = 384, k: int = 5,
+    spec: bool = False, device_dtype: str = "float32",
+) -> dict[str, Any]:
+    """``spec=True`` runs BASELINE config 2 at full scale: a 100k x 100k
+    cosine kNN join (k=5) at 768-d.  Corpora are generated on device (the
+    dev host's core would otherwise dominate wall time) and pair recall is
+    checked for a 512-row left subset against the exact f32 device oracle
+    (the host-side 100k x 100k x 768 oracle matmul is infeasible here)."""
+    if spec:
+        n_left = n_right = 100_000
+        d, k, device_dtype = 768, 5, "bfloat16"
+        from benchmarks.common import make_corpus_device
+
+        right_vecs = np.asarray(make_corpus_device(n_right, d, seed=0))
+        left_vecs = np.asarray(make_corpus_device(n_left, d, seed=1))
+    else:
+        right_vecs = make_corpus(n_right, d, seed=0)
+        left_vecs = make_corpus(n_left, d, seed=1)
 
     left = pd.DataFrame({"q": [f"vec:{i}" for i in range(n_left)]})
     right = pd.DataFrame({"doc": [f"vec:{i}" for i in range(n_right)]})
 
     with tempfile.TemporaryDirectory() as tmp:
-        settings.configure(rm=_PrecomputedRM(np.concatenate([right_vecs])), vs=TpuVS())
+        settings.configure(rm=_PrecomputedRM(right_vecs), vs=TpuVS(device_dtype=device_dtype))
         right = right.sem_index("doc", tmp)
         settings.configure(rm=_PrecomputedRM(left_vecs))
 
@@ -44,11 +60,20 @@ def run(n_left: int = 5_000, n_right: int = 50_000, d: int = 384, k: int = 5) ->
         joined = left.sem_sim_join(right, left_on="q", right_on="doc", K=k)
         wall = time.perf_counter() - t0
 
-    truth = exact_topk(right_vecs, left_vecs, k)
     got_pairs = set(zip((int(s.split(":")[1]) for s in joined["q"]),
                         (int(s.split(":")[1]) for s in joined["doc"])))
-    true_pairs = {(i, int(j)) for i in range(n_left) for j in truth[i]}
-    overlap = len(got_pairs & true_pairs) / len(true_pairs)
+    if spec:
+        from benchmarks.common import exact_topk_device
+
+        probe = 512
+        truth = exact_topk_device(right_vecs, left_vecs[:probe], k)
+        true_pairs = {(i, int(j)) for i in range(probe) for j in truth[i]}
+        got_sub = {(a, b) for a, b in got_pairs if a < probe}
+        overlap = len(got_sub & true_pairs) / len(true_pairs)
+    else:
+        truth = exact_topk(right_vecs, left_vecs, k)
+        true_pairs = {(i, int(j)) for i in range(n_left) for j in truth[i]}
+        overlap = len(got_pairs & true_pairs) / len(true_pairs)
 
     settings.configure(rm=None, vs=None)
     return {
@@ -57,4 +82,5 @@ def run(n_left: int = 5_000, n_right: int = 50_000, d: int = 384, k: int = 5) ->
         "rows": len(joined),
         "pair_recall": overlap,
         "joined_rows_per_sec": len(joined) / wall,
+        **({"oracle": "device f32, 512-row subset"} if spec else {}),
     }

@@ -139,6 +139,56 @@ def _assign_top2(x: jnp.ndarray, centroids: jnp.ndarray, sub: int = 65536):
     return a1.reshape(rows), a2.reshape(rows), margin.reshape(rows)
 
 
+@functools.partial(
+    jax.jit,
+    donate_argnums=(2, 3, 4, 5, 6),
+    static_argnames=("rows", "d", "n_clusters", "cluster_scale", "k", "spill"),
+)
+def _scan_chunk(
+    key: jax.Array, centers: jnp.ndarray,
+    best_s: jnp.ndarray, best_i: jnp.ndarray, a1_buf: jnp.ndarray,
+    a2_buf: jnp.ndarray, mg_buf: jnp.ndarray,
+    centroids: jnp.ndarray, xq_gt: jnp.ndarray, base: jnp.ndarray,
+    rows: int, d: int, n_clusters: int, cluster_scale: float, k: int, spill: bool,
+):
+    """One fused pass-1 step: regenerate a chunk, fold it into the exact-f32
+    oracle, top-2-assign it, and write the assignments into device-resident
+    accumulators — NOTHING is fetched to the host (the round-2 build fetched
+    3 arrays per chunk over the tunnel, which dominated scan time)."""
+    x = _gen_chunk(key, centers, rows, d, n_clusters, cluster_scale)
+    best_s, best_i = _gt_merge(best_s, best_i, xq_gt, x, base, k)
+    a1, a2, mg = _assign_top2(x, centroids)
+    a1_buf = jax.lax.dynamic_update_slice_in_dim(a1_buf, a1, base, axis=0)
+    if spill:
+        a2_buf = jax.lax.dynamic_update_slice_in_dim(a2_buf, a2, base, axis=0)
+        mg_buf = jax.lax.dynamic_update_slice_in_dim(mg_buf, mg, base, axis=0)
+    return best_s, best_i, a1_buf, a2_buf, mg_buf
+
+
+@functools.partial(jax.jit, static_argnames=("total", "nlist"))
+def _plan_layout_device(
+    assign: jnp.ndarray, list_start: jnp.ndarray, total: int, nlist: int,
+):
+    """Device-side block-aligned CSR planning for the no-replication case
+    (entry i IS row i).  Mirrors :func:`lotus_tpu.ops.ivf.plan_block_aligned_layout`,
+    which runs on host for the product path; here only the (nlist,) counts
+    ever cross the tunnel.  All-int32: storage positions and row counts both
+    fit (x64 is disabled session-wide).
+
+    Returns ``dest`` (storage position per row, int32) and ``row_ids``
+    (logical row at each storage slot, NO_HIT padding)."""
+    n = assign.shape[0]
+    order = jnp.argsort(assign, stable=True).astype(jnp.int32)
+    sorted_assign = jnp.take(assign, order)
+    counts = jnp.zeros(nlist, jnp.int32).at[assign].add(1)
+    start_unpadded = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    rank = jnp.arange(n, dtype=jnp.int32) - jnp.take(start_unpadded, sorted_assign)
+    dest_sorted = jnp.take(list_start, sorted_assign) + rank
+    dest = jnp.zeros(n, jnp.int32).at[order].set(dest_sorted)
+    row_ids = jnp.full(total, NO_HIT, jnp.int32).at[dest_sorted].set(order)
+    return dest, row_ids
+
+
 def synth_ivf_device_build(
     *,
     n: int = 10_485_760,  # 10 * 2^20 ("10M"), a multiple of the chunk size
@@ -207,58 +257,82 @@ def synth_ivf_device_build(
     t0 = time.perf_counter()
     best_s = jnp.full((gt_queries, k), -np.inf, jnp.float32)
     best_i = jnp.full((gt_queries, k), -1, jnp.int32)
-    assign = np.empty(n, np.int32)
-    assign2 = np.empty(n, np.int32)
-    margins = np.empty(n, np.float32)
+    spill = spill_frac > 0
+    # Assignments accumulate in device buffers; the round-2 build fetched
+    # a1/a2/margins per chunk (3 x 1 MB x n_chunks over a ~MB/s tunnel),
+    # which dominated scan wall time.  Now at most (nlist,) counts cross.
+    a1_buf = jnp.zeros(n, jnp.int32)
+    a2_buf = jnp.zeros(n if spill else 1, jnp.int32)
+    mg_buf = jnp.zeros(n if spill else 1, jnp.float32)
+    del x0  # the fused step regenerates chunk 0 (cheap next to its scan)
     for c in range(n_chunks):
-        x = x0 if c == 0 else _gen_chunk(chunk_keys[c], centers, chunk, d, n_clusters, cluster_scale)
-        say(f"pass1: chunk {c + 1}: gt")
-        best_s, best_i = _gt_merge(best_s, best_i, xq_gt, x, jnp.int32(c * chunk), k)
-        # Top-2 assignment in query sub-chunks — a full (chunk, nlist) f32
-        # score matrix would not fit next to everything else at 10M scale.
-        say(f"pass1: chunk {c + 1}: top2")
-        a1, a2, mg = _assign_top2(x, centroids)
-        say(f"pass1: chunk {c + 1}: block")
-        jax.block_until_ready((a1, a2, mg, best_s))
-        sl = slice(c * chunk, (c + 1) * chunk)
-        say(f"pass1: chunk {c + 1}: fetch a1")
-        assign[sl] = fetch_int32(a1)
-        say(f"pass1: chunk {c + 1}: fetch a2")
-        assign2[sl] = fetch_int32(a2)
-        say(f"pass1: chunk {c + 1}: fetch mg")
-        margins[sl] = np.asarray(mg)
-        say(f"pass1: chunk {c + 1}/{n_chunks} scored+assigned")
-    del x0, x
-    gt = fetch_int32(best_i)
+        best_s, best_i, a1_buf, a2_buf, mg_buf = _scan_chunk(
+            chunk_keys[c], centers, best_s, best_i, a1_buf, a2_buf, mg_buf,
+            centroids, xq_gt, jnp.int32(c * chunk),
+            rows=chunk, d=d, n_clusters=n_clusters, cluster_scale=cluster_scale,
+            k=k, spill=spill,
+        )
+        say(f"pass1: chunk {c + 1}/{n_chunks} queued")
+    gt = fetch_int32(best_i)  # blocks on the whole chain; (gt_queries, k) only
     xq_host = np.asarray(xq)
     timings["scan_s"] = time.perf_counter() - t0
 
-    # ---- host: spill selection + CSR geometry (cheap integer work) ---------
+    # ---- layout planning ----------------------------------------------------
     # SOAR-style selective replication: the spill_frac rows closest to a
     # cell boundary (smallest top-2 score margin) are stored in BOTH lists,
     # recovering the boundary-split recall loss; the probe dedups by row id.
     t0 = time.perf_counter()
-    if spill_frac > 0:
+    if spill:
+        # Replicated entries make the entry count data-dependent; this path
+        # plans on host (one bulk fetch of the accumulated assignments).
+        assign = fetch_int32(a1_buf)
+        assign2 = fetch_int32(a2_buf)
+        margins = np.asarray(mg_buf)
         tau = float(np.quantile(margins, spill_frac))
         spill_rows = np.where(margins <= tau)[0].astype(np.int64)
+        entry_assign = np.concatenate([assign, assign2[spill_rows]])
+        row_of_entry = np.concatenate([np.arange(n, dtype=np.int64), spill_rows]).astype(np.int32)
+        plan = plan_block_aligned_layout(entry_assign, nlist, block_align, row_of_entry)
+        entry_dest = np.empty(entry_assign.shape[0], np.int64)
+        entry_dest[plan["order"]] = plan["dest"]
+        primary_dest, spill_dest = entry_dest[:n], entry_dest[n:]
+        primary_dest_dev = jnp.asarray(primary_dest.astype(np.int32))
+        list_size_np = plan["list_size"]
+        list_start_np = plan["list_start"]
+        max_list, window, total = plan["max_list"], plan["window"], plan["total"]
+        row_ids_final = jnp.asarray(
+            np.concatenate([plan["row_ids"], np.full(window, NO_HIT, np.int32)])
+        )
+        say(f"plan: entries={entry_assign.shape[0]:,} total={total:,} window={window}")
     else:
+        # No replication: entry i IS row i, so the whole layout is computed
+        # on device (one stable sort); only the (nlist,) counts cross the
+        # tunnel to derive the padded geometry.
         spill_rows = np.empty(0, np.int64)
-    entry_assign = np.concatenate([assign, assign2[spill_rows]])
-    row_of_entry = np.concatenate([np.arange(n, dtype=np.int64), spill_rows]).astype(np.int32)
-    plan = plan_block_aligned_layout(entry_assign, nlist, block_align, row_of_entry)
-    entry_dest = np.empty(entry_assign.shape[0], np.int64)
-    entry_dest[plan["order"]] = plan["dest"]
-    primary_dest, spill_dest = entry_dest[:n], entry_dest[n:]
+        spill_dest = np.empty(0, np.int64)
+        assign = assign2 = None
+        list_size_np = np.asarray(jnp.zeros(nlist, jnp.int32).at[a1_buf].add(1))
+        max_list = int(list_size_np.max()) if nlist > 0 else 0
+        padded_size = np.maximum(
+            ((list_size_np + block_align - 1) // block_align) * block_align, block_align
+        )
+        list_start_np = np.zeros(nlist, np.int32)
+        list_start_np[1:] = np.cumsum(padded_size)[:-1]
+        total = int(padded_size.sum())
+        window = max(block_align, int(((max_list + block_align - 1) // block_align) * block_align))
+        primary_dest_dev, row_ids_final = _plan_layout_device(
+            a1_buf, jnp.asarray(list_start_np), total=total + window, nlist=nlist,
+        )
+        row_ids_final.block_until_ready()
+        say(f"plan (device): entries={n:,} total={total:,} window={window}")
     timings["plan_s"] = time.perf_counter() - t0
-    say(f"plan: entries={entry_assign.shape[0]:,} total={plan['total']:,} window={plan['window']}")
 
     # ---- pass 2: regenerate, quantise, scatter into the CSR buffer ---------
     t0 = time.perf_counter()
-    pad = plan["window"]
-    total = plan["total"] + pad
-    dummy_pos = total - 1  # inside the never-probed window tail
-    buf = jnp.zeros((total, d), jnp.int8)
-    scale_buf = jnp.ones((total,), jnp.float32)
+    total_padded = total + window
+    dummy_pos = total_padded - 1  # inside the never-probed window tail
+    buf = jnp.zeros((total_padded, d), jnp.int8)
+    scale_buf = jnp.ones((total_padded,), jnp.float32)
     # Refinement is keyed by ORIGINAL row id (not storage position): one
     # entry per logical row regardless of spill, written contiguously.
     rbuf = jnp.zeros((n, d // 2) if refine else (1, 1), jnp.int8)
@@ -280,8 +354,8 @@ def synth_ivf_device_build(
             sl = slice(c * chunk + lo, c * chunk + lo + quarter)
             buf, scale_buf, rbuf, rs_buf = _pack_slice(
                 buf, scale_buf, rbuf, rs_buf,
-                x[lo : lo + quarter], jnp.asarray(primary_dest[sl]),
-                jnp.asarray(assign[sl]), centroids, jnp.int32(c * chunk + lo),
+                x[lo : lo + quarter], primary_dest_dev[sl],
+                a1_buf[sl], centroids, jnp.int32(c * chunk + lo),
                 residual, refine,
             )
         if spill_rows.size:
@@ -308,11 +382,10 @@ def synth_ivf_device_build(
     buf.block_until_ready()
     timings["pack_s"] = time.perf_counter() - t0
 
-    row_ids = np.concatenate([plan["row_ids"], np.full(pad, NO_HIT, np.int32)])
     meta = {
         "nlist": int(nlist),
-        "max_list_size": plan["max_list"],
-        "probe_window": int(plan["window"]),
+        "max_list_size": int(max_list),
+        "probe_window": int(window),
         "block_align": int(block_align),
         "metric": "ip",
         "encoding": encoding,
@@ -327,16 +400,16 @@ def synth_ivf_device_build(
         "centroids": centroids,
         "ivf_vectors": buf,
         "ivf_row_scales": scale_buf,
-        "ivf_row_ids": jnp.asarray(row_ids),
-        "ivf_list_start": jnp.asarray(plan["list_start"]),
-        "ivf_list_size": jnp.asarray(plan["list_size"]),
+        "ivf_row_ids": row_ids_final,
+        "ivf_list_start": jnp.asarray(np.asarray(list_start_np, np.int32)),
+        "ivf_list_size": jnp.asarray(np.asarray(list_size_np, np.int32)),
     }
     if refine:
         state["ivf_refine"] = rbuf
         state["ivf_refine_scales"] = rs_buf
     # inv_perm points every row at its PRIMARY copy (the one refinement
     # refines); spill copies are never the rescore source.
-    state["ivf_inv_perm"] = jnp.asarray(primary_dest.astype(np.int32))
+    state["ivf_inv_perm"] = primary_dest_dev
     build_s = timings["train_s"] + timings["scan_s"] + timings["plan_s"] + timings["pack_s"]
     return {
         "state": state,

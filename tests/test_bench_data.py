@@ -57,6 +57,29 @@ def test_probe_recall_vs_f32_oracle(built):
     assert recall >= 0.9, recall
 
 
+def test_spill_branch_layout_and_recall():
+    """spill_frac > 0 plans on host (replicated entries); every row keeps a
+    primary copy and exactly the spilled fraction appears twice."""
+    cfg = dict(CFG, spill_frac=0.1)
+    b = synth_ivf_device_build(**cfg)
+    st = b["state"]
+    n = cfg["n"]
+    rid = np.asarray(st["ivf_row_ids"])
+    live = rid[rid >= 0]
+    counts = np.bincount(live, minlength=n)
+    assert counts.min() >= 1 and counts.max() <= 2
+    dup = (counts == 2).sum()
+    assert abs(dup - 0.1 * n) <= 0.02 * n, dup
+    # inv_perm points at a slot that really holds that row (the primary copy)
+    inv = np.asarray(st["ivf_inv_perm"])
+    assert (rid[inv] == np.arange(n)).all()
+    _, idx = ivf_search_pallas(st, jnp.asarray(b["queries"]), cfg["k"], nprobe=cfg["nlist"], metric="ip", interpret=True)
+    got = np.asarray(idx)[: cfg["gt_queries"]]
+    gt = b["gt"]
+    recall = np.mean([len(set(got[i]) & set(gt[i])) / cfg["k"] for i in range(len(gt))])
+    assert recall >= 0.9, recall
+
+
 def test_deterministic_rebuild(built):
     again = synth_ivf_device_build(**CFG)
     assert np.array_equal(again["gt"], built["gt"])

@@ -8,6 +8,7 @@ the first trial's answers); structured grading goes through
 
 from __future__ import annotations
 
+import contextvars
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable
 
@@ -66,15 +67,13 @@ def llm_as_judge(
         )
 
     # Suspend the message cache during trials so trials actually differ.
-    # Direct (global) mutation on purpose: a ContextVar overlay would not
-    # reach the pool's worker threads.
-    was_cached = settings.enable_cache
-    settings.enable_cache = False
-    try:
-        with ThreadPoolExecutor(max_workers=settings.parallel_groupby_max_threads) as pool:
-            trials = list(pool.map(one_trial, range(n_trials)))
-    finally:
-        settings.enable_cache = was_cached
+    # Pool worker threads start with a fresh context (they would miss both
+    # this override and any settings.context(...) the caller is inside), so
+    # snapshot the caller's context per trial and run each trial inside it.
+    with settings.context(enable_cache=False):
+        snapshots = [contextvars.copy_context() for _ in range(n_trials)]
+    with ThreadPoolExecutor(max_workers=settings.parallel_groupby_max_threads) as pool:
+        trials = list(pool.map(lambda job: job[0].run(one_trial, job[1]), zip(snapshots, range(n_trials))))
 
     if response_format is None:
         return list(trials)

@@ -15,6 +15,7 @@ swapped columns and inverted thresholds.
 from __future__ import annotations
 
 import copy
+import contextvars
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any
 
@@ -129,14 +130,13 @@ class PairwiseJudgeDataframe(SemAccessor):
                 output_tokens=(a, b), **filter_kwargs,
             )
 
-        # Global (not ContextVar) cache toggle so worker threads see it too.
-        was_cached = settings.enable_cache
-        settings.enable_cache = False
-        try:
-            with ThreadPoolExecutor(max_workers=settings.parallel_groupby_max_threads) as pool:
-                trials = list(pool.map(one_trial, range(n_trials)))
-        finally:
-            settings.enable_cache = was_cached
+        # Worker threads start with a fresh context, so snapshot the caller's
+        # context (plus the cache suspension) per trial and run inside it —
+        # no global mutation to leak if the caller is inside settings.context().
+        with settings.context(enable_cache=False):
+            snapshots = [contextvars.copy_context() for _ in range(n_trials)]
+        with ThreadPoolExecutor(max_workers=settings.parallel_groupby_max_threads) as pool:
+            trials = list(pool.map(lambda job: job[0].run(one_trial, job[1]), zip(snapshots, range(n_trials))))
 
         carried = set(self._obj.rename(columns={col1: a, col2: b}).columns)
         stats_log, verdict_frames = [], []

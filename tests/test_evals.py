@@ -79,3 +79,23 @@ def test_pairwise_judge_permuted():
     # After permutation re-mapping, "A" must mean col1 (the gold one) in both.
     for c in judge_cols:
         assert out[c].tolist() == ["A"]
+
+
+def test_judge_inside_settings_context_does_not_leak():
+    """Regression: judging inside settings.context() must not clobber the base
+    enable_cache (the old save/restore wrote the overlay value into the base),
+    and the scoped judge lm must actually be used by the pool workers."""
+    prod_lm = make_fake_lm(responder=lambda p, m, **kw: "prod")
+    judge_lm = make_fake_lm(responder=lambda p, m, **kw: "7")
+    lotus_tpu.settings.configure(lm=prod_lm, enable_cache=True)
+    df = pd.DataFrame({"answer": ["resp"]})
+    with lotus_tpu.settings.context(lm=judge_lm, enable_cache=False):
+        out = df.llm_as_judge("Grade the {answer} from 1-10", n_trials=2)
+    assert out["_judge_0"].tolist() == ["7"]  # workers saw the scoped lm
+    assert lotus_tpu.settings.enable_cache is True
+    assert lotus_tpu.settings.lm is prod_lm
+
+    with lotus_tpu.settings.context(lm=judge_lm, enable_cache=False):
+        df2 = pd.DataFrame({"left": ["alpha"], "right": ["beta"]})
+        df2.pairwise_judge("left", "right", "Compare {left} and {right}", n_trials=1)
+    assert lotus_tpu.settings.enable_cache is True

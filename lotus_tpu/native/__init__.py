@@ -35,8 +35,13 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _tried = True
     try:
-        if not os.path.exists(_LIB_PATH):
-            src = os.path.join(_NATIVE_DIR, "lotus_native.cpp")
+        src = os.path.join(_NATIVE_DIR, "lotus_native.cpp")
+        stale = (
+            os.path.exists(src)
+            and os.path.exists(_LIB_PATH)
+            and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+        )
+        if not os.path.exists(_LIB_PATH) or stale:
             if not os.path.exists(src):
                 return None
             subprocess.run(
@@ -53,6 +58,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.lotus_topk_merge.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.lotus_topk_merge_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
         ]
         lib.lotus_write_array.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
@@ -128,6 +138,30 @@ def topk_merge(scores: np.ndarray, ids: np.ndarray, k: int) -> tuple[np.ndarray,
     out_s[: len(order)] = flat_s[order]
     out_i[: len(order)] = flat_i[order]
     return out_s, out_i
+
+
+def topk_merge_batch(scores: np.ndarray, ids: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-query merge of (B, n_lists, list_len) descending candidate lists
+    into (B, k) global top-k — one native call for the whole batch."""
+    scores = np.ascontiguousarray(np.asarray(scores, dtype=np.float32))
+    ids = np.ascontiguousarray(np.asarray(ids, dtype=np.int64))
+    if scores.ndim != 3 or scores.shape != ids.shape:
+        raise ValueError(f"expected matching (B, n_lists, list_len) arrays, got {scores.shape} / {ids.shape}")
+    b, n_lists, list_len = scores.shape
+    lib = _load()
+    if lib is not None:
+        out_s = np.empty((b, k), dtype=np.float32)
+        out_i = np.empty((b, k), dtype=np.int64)
+        lib.lotus_topk_merge_batch(
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            b, n_lists, list_len, k,
+            out_s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return out_s, out_i
+    merged = [topk_merge(scores[q], ids[q], k) for q in range(b)]
+    return np.stack([m[0] for m in merged]), np.stack([m[1] for m in merged])
 
 
 # ---------------------------------------------------------- checksummed IO

@@ -1,0 +1,260 @@
+"""Multi-host serving front end for sharded vector indexes.
+
+When a corpus outgrows one pod's HBM (BASELINE config 5's 100M stretch), the
+shards stop sharing an ICI domain and per-host search results must be merged
+over the data-center network.  This package is that front end:
+
+- :class:`ShardServer` — a thin TCP server around any search engine (a
+  ``VS`` or a plain callable): receives a query batch, runs the local
+  device search, streams back per-shard top-k with GLOBAL row ids.
+- :class:`ShardClient` — the matching client.
+- :class:`SearchFrontEnd` — fans a query batch out to every shard server in
+  parallel and k-way-merges the per-shard candidate lists in one call into
+  the native runtime (``lotus_tpu.native.topk_merge_batch`` — C++, one
+  ctypes round trip for the whole batch).
+
+The wire format is a fixed little-endian binary framing (no pickle — safe
+to expose between mutually trusting hosts, cheap to parse).  The reference
+framework has no serving tier (faiss is called in-process:
+``lotus/vector_store/faiss_vs.py:63-67``); this is the piece that lets the
+TPU-native store scale past one host's HBM while keeping the VS contract.
+
+Request frame:   b"LTSV" | u8 op | op payload
+  op=1 SEARCH:   u32 n_queries | u32 dim | u32 k | f32[n_queries * dim]
+  op=2 PING:     (empty)
+Response frame:  u8 status | payload
+  status=0 ok:   SEARCH -> u32 n_queries | u32 k | f32[n*k] | i64[n*k]
+                 PING   -> (empty)
+  status=1 err:  u32 len | utf-8 message
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Sequence
+
+import numpy as np
+
+import lotus_tpu
+from lotus_tpu import native
+
+MAGIC = b"LTSV"
+OP_SEARCH = 1
+OP_PING = 2
+
+SearchFn = Callable[[np.ndarray, int], tuple[np.ndarray, np.ndarray]]
+
+
+def _recv_exact(conn: socket.socket, n: int) -> bytes:
+    buf = bytearray(n)
+    view = memoryview(buf)
+    got = 0
+    while got < n:
+        r = conn.recv_into(view[got:], n - got)
+        if r == 0:
+            raise ConnectionError("peer closed mid-frame")
+        got += r
+    return bytes(buf)
+
+
+def vs_search_fn(vs: Any, id_offset: int = 0) -> SearchFn:
+    """Adapt a VS (4-method store contract) into a serving search function.
+
+    ``id_offset`` maps the shard's local row ids into the global id space —
+    shard s of a row-partitioned corpus serves rows [offset, offset + n_s).
+    """
+
+    def search(xq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        out = vs(xq, k)
+        dists = np.asarray(out.distances, dtype=np.float32)
+        ids = np.asarray(out.indices, dtype=np.int64)
+        ids = np.where(ids >= 0, ids + id_offset, ids)
+        return dists, ids
+
+    return search
+
+
+class ShardServer:
+    """Serve one index shard's search over TCP.
+
+    Args:
+        search: the local engine — ``(xq float32 [B, d], k) -> (dists
+            float32 [B, k], global ids int64 [B, k])``.  Use
+            :func:`vs_search_fn` to adapt a VS.
+        host/port: bind address; port 0 picks a free port (see ``address``).
+    """
+
+    def __init__(self, search: SearchFn, host: str = "127.0.0.1", port: int = 0) -> None:
+        self._search = search
+        self._sock = socket.create_server((host, port))
+        self._sock.settimeout(0.25)  # so the accept loop can observe stop()
+        self._stopping = threading.Event()
+        self._thread: threading.Thread | None = None
+        self._conn_threads: list[threading.Thread] = []
+
+    @property
+    def address(self) -> tuple[str, int]:
+        return self._sock.getsockname()[:2]
+
+    # ------------------------------------------------------------ lifecycle
+    def start(self) -> "ShardServer":
+        self._thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stopping.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+        self._sock.close()
+
+    def __enter__(self) -> "ShardServer":
+        return self.start()
+
+    def __exit__(self, *exc: Any) -> None:
+        self.stop()
+
+    # -------------------------------------------------------------- serving
+    def _accept_loop(self) -> None:
+        while not self._stopping.is_set():
+            try:
+                conn, _ = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            t = threading.Thread(target=self._serve_conn, args=(conn,), daemon=True)
+            t.start()
+            self._conn_threads.append(t)
+
+    def _serve_conn(self, conn: socket.socket) -> None:
+        with conn:
+            while not self._stopping.is_set():
+                try:
+                    head = _recv_exact(conn, 5)
+                except (ConnectionError, OSError):
+                    return
+                try:
+                    if head[:4] != MAGIC:
+                        raise ValueError("bad magic")
+                    op = head[4]
+                    if op == OP_PING:
+                        conn.sendall(b"\x00")
+                    elif op == OP_SEARCH:
+                        b, d, k = struct.unpack("<III", _recv_exact(conn, 12))
+                        raw = _recv_exact(conn, 4 * b * d)
+                        xq = np.frombuffer(raw, dtype="<f4").reshape(b, d)
+                        dists, ids = self._search(xq, int(k))
+                        dists = np.ascontiguousarray(dists, dtype="<f4")
+                        ids = np.ascontiguousarray(ids, dtype="<i8")
+                        conn.sendall(
+                            b"\x00"
+                            + struct.pack("<II", dists.shape[0], dists.shape[1])
+                            + dists.tobytes()
+                            + ids.tobytes()
+                        )
+                    else:
+                        raise ValueError(f"unknown op {op}")
+                except (ConnectionError, OSError):
+                    return
+                except Exception as e:  # protocol-level error -> status frame
+                    lotus_tpu.logger.warning(f"ShardServer: request failed: {e}")
+                    msg = str(e).encode()
+                    try:
+                        conn.sendall(b"\x01" + struct.pack("<I", len(msg)) + msg)
+                    except OSError:
+                        return
+
+
+class ShardClient:
+    """Client for one :class:`ShardServer` (persistent connection)."""
+
+    def __init__(self, address: tuple[str, int], timeout: float = 900.0) -> None:
+        # The default timeout is generous: a shard's FIRST search may include
+        # an XLA compile (minutes on some toolchains), and a partial answer
+        # is worse than a slow one.
+        self.address = (address[0], int(address[1]))
+        self.timeout = timeout
+        self._conn: socket.socket | None = None
+        self._lock = threading.Lock()
+
+    def _connect(self) -> socket.socket:
+        if self._conn is None:
+            self._conn = socket.create_connection(self.address, timeout=self.timeout)
+        return self._conn
+
+    def _read_status(self, conn: socket.socket) -> None:
+        status = _recv_exact(conn, 1)[0]
+        if status != 0:
+            (n,) = struct.unpack("<I", _recv_exact(conn, 4))
+            raise RuntimeError(f"shard {self.address}: {_recv_exact(conn, n).decode()}")
+
+    def ping(self) -> bool:
+        with self._lock:
+            conn = self._connect()
+            conn.sendall(MAGIC + bytes([OP_PING]))
+            self._read_status(conn)
+        return True
+
+    def search(self, xq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        xq = np.ascontiguousarray(np.asarray(xq, dtype="<f4"))
+        if xq.ndim == 1:
+            xq = xq[None, :]
+        with self._lock:
+            conn = self._connect()
+            conn.sendall(
+                MAGIC
+                + bytes([OP_SEARCH])
+                + struct.pack("<III", xq.shape[0], xq.shape[1], k)
+                + xq.tobytes()
+            )
+            self._read_status(conn)
+            b, kk = struct.unpack("<II", _recv_exact(conn, 8))
+            dists = np.frombuffer(_recv_exact(conn, 4 * b * kk), dtype="<f4").reshape(b, kk)
+            ids = np.frombuffer(_recv_exact(conn, 8 * b * kk), dtype="<i8").reshape(b, kk)
+        return dists.copy(), ids.copy()
+
+    def close(self) -> None:
+        if self._conn is not None:
+            self._conn.close()
+            self._conn = None
+
+
+class SearchFrontEnd:
+    """Fan a query batch out to shard servers and merge the results.
+
+    Per-shard searches run concurrently (one thread per shard — the work is
+    network+device-bound); the (B, n_shards, k) candidate pool is merged to
+    (B, k) by the native batched k-way merge.  Shards that fail raise — a
+    partial answer from a row-partitioned corpus is silently wrong, so the
+    caller decides about retries.
+    """
+
+    def __init__(self, addresses: Sequence[tuple[str, int]]) -> None:
+        if not addresses:
+            raise ValueError("SearchFrontEnd needs at least one shard address")
+        self.clients = [ShardClient(a) for a in addresses]
+        self._pool = ThreadPoolExecutor(max_workers=len(self.clients))
+
+    def search(self, xq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        xq = np.asarray(xq, dtype=np.float32)
+        if xq.ndim == 1:
+            xq = xq[None, :]
+        parts = list(self._pool.map(lambda c: c.search(xq, k), self.clients))
+        dists = np.stack([p[0] for p in parts], axis=1)  # (B, n_shards, k)
+        ids = np.stack([p[1] for p in parts], axis=1)
+        return native.topk_merge_batch(dists, ids, k)
+
+    def close(self) -> None:
+        for c in self.clients:
+            c.close()
+        self._pool.shutdown(wait=False)
+
+    def __enter__(self) -> "SearchFrontEnd":
+        return self
+
+    def __exit__(self, *exc: Any) -> None:
+        self.close()

@@ -94,6 +94,21 @@ void lotus_topk_merge(const float* scores, const int64_t* ids, int64_t n_lists,
   }
 }
 
+// Batched variant for the serving front end: one (n_lists, list_len) merge
+// per query.  scores/ids are laid out [n_queries, n_lists, list_len]; the
+// outputs are [n_queries, k].  Keeps the whole fan-in aggregation of a
+// query batch in one native call instead of n_queries ctypes round trips.
+void lotus_topk_merge_batch(const float* scores, const int64_t* ids,
+                            int64_t n_queries, int64_t n_lists,
+                            int64_t list_len, int64_t k, float* out_scores,
+                            int64_t* out_ids) {
+  const int64_t in_stride = n_lists * list_len;
+  for (int64_t q = 0; q < n_queries; ++q) {
+    lotus_topk_merge(scores + q * in_stride, ids + q * in_stride, n_lists,
+                     list_len, k, out_scores + q * k, out_ids + q * k);
+  }
+}
+
 // --------------------------------------------------------- checksummed IO
 // CRC32 (IEEE 802.3 polynomial, table-driven).
 static uint32_t crc32_table[256];

@@ -1,0 +1,103 @@
+"""Serving front end: shard servers over loopback + native batched merge.
+
+Two ShardServers each hold half of a corpus in a TpuVS flat index; the
+SearchFrontEnd's merged answer must exactly match one store over the whole
+corpus (row partitioning is lossless for exact search).
+"""
+
+import numpy as np
+import pytest
+
+from lotus_tpu import native
+from lotus_tpu.serving import SearchFrontEnd, ShardClient, ShardServer, vs_search_fn
+from lotus_tpu.vector_store import TpuVS
+
+RNG = np.random.default_rng(7)
+N, D, K = 200, 16, 10
+CORPUS = RNG.standard_normal((N, D)).astype(np.float32)
+QUERIES = RNG.standard_normal((5, D)).astype(np.float32)
+
+
+def _make_store(tmp_path, rows: np.ndarray, tag: str) -> TpuVS:
+    vs = TpuVS(index_type="flat", metric="ip", device_dtype="float32")
+    vs.index([f"doc{i}" for i in range(rows.shape[0])], rows, str(tmp_path / tag))
+    return vs
+
+
+@pytest.fixture(scope="module")
+def sharded(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("serving")
+    half = N // 2
+    servers = [
+        ShardServer(vs_search_fn(_make_store(tmp, CORPUS[:half], "s0"), id_offset=0)).start(),
+        ShardServer(vs_search_fn(_make_store(tmp, CORPUS[half:], "s1"), id_offset=half)).start(),
+    ]
+    yield servers
+    for s in servers:
+        s.stop()
+
+
+def test_topk_merge_batch_matches_per_query():
+    scores = np.sort(RNG.standard_normal((4, 3, 6)).astype(np.float32), axis=-1)[..., ::-1]
+    ids = RNG.integers(0, 1000, size=(4, 3, 6)).astype(np.int64)
+    bs, bi = native.topk_merge_batch(scores, ids, 5)
+    for q in range(4):
+        s, i = native.topk_merge(scores[q], ids[q], 5)
+        np.testing.assert_array_equal(bs[q], s)
+        np.testing.assert_array_equal(bi[q], i)
+
+
+def test_shard_roundtrip(sharded):
+    client = ShardClient(sharded[0].address)
+    assert client.ping()
+    dists, ids = client.search(QUERIES, K)
+    assert dists.shape == (5, K) and ids.shape == (5, K)
+    # Shard 0 serves global ids [0, N/2).
+    assert ids.min() >= 0 and ids.max() < N // 2
+    client.close()
+
+
+def test_frontend_matches_single_store(sharded, tmp_path):
+    whole = _make_store(tmp_path, CORPUS, "whole")
+    expected = whole(QUERIES, K)
+    exp_ids = np.asarray(expected.indices)
+
+    with SearchFrontEnd([s.address for s in sharded]) as fe:
+        dists, ids = fe.search(QUERIES, K)
+    np.testing.assert_array_equal(ids, exp_ids)
+    np.testing.assert_allclose(dists, np.asarray(expected.distances), rtol=1e-5, atol=1e-5)
+    # Scores must come back descending.
+    assert np.all(np.diff(dists, axis=1) <= 1e-6)
+
+
+def test_frontend_k_exceeding_shard_rows(tmp_path):
+    """K larger than one shard's row count: -1 padding must not leak into the
+    merged result while real candidates remain on other shards."""
+    tiny, big = CORPUS[:4], CORPUS[4:64]
+    servers = [
+        ShardServer(vs_search_fn(_make_store(tmp_path, tiny, "tiny"), id_offset=0)).start(),
+        ShardServer(vs_search_fn(_make_store(tmp_path, big, "big"), id_offset=4)).start(),
+    ]
+    try:
+        with SearchFrontEnd([s.address for s in servers]) as fe:
+            dists, ids = fe.search(QUERIES[:2], 10)
+        assert np.all(ids >= 0)  # 4 + 60 rows >= 10 everywhere
+        whole = _make_store(tmp_path, CORPUS[:64], "whole64")
+        np.testing.assert_array_equal(ids, np.asarray(whole(QUERIES[:2], 10).indices))
+    finally:
+        for s in servers:
+            s.stop()
+
+
+def test_error_frame_propagates(sharded):
+    def broken(xq, k):
+        raise RuntimeError("index not loaded")
+
+    server = ShardServer(broken).start()
+    try:
+        client = ShardClient(server.address)
+        with pytest.raises(RuntimeError, match="index not loaded"):
+            client.search(QUERIES, K)
+        client.close()
+    finally:
+        server.stop()

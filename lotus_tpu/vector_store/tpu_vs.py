@@ -67,6 +67,8 @@ class TpuVS(VS):
         int8_refine: bool = False,
         rescore: Optional[int] = None,
         scan: str = "auto",
+        int8_queries: Optional[bool] = None,
+        query_chunk: int = 2048,
     ) -> None:
         super().__init__()
         if index_type not in ("flat", "ivf"):
@@ -99,6 +101,15 @@ class TpuVS(VS):
         if scan not in ("auto", "xla", "pallas"):
             raise ValueError(f"scan must be 'auto', 'xla' or 'pallas', got {scan!r}")
         self.scan = scan
+        # Pallas-probe query quantization: int8 queries run the int8 MXU dot
+        # (2x rate); with rescoring active the exact re-rank absorbs the
+        # quantization noise, so None (auto) enables it exactly when the
+        # store is int8 AND rescoring is on — the bench-measured best point.
+        self.int8_queries = int8_queries
+        # Probe the batch in slices of this many queries: bounds the
+        # candidate-pool memory AND keeps full MXU lane occupancy (2048 is
+        # the measured optimum at B=4096/nprobe=256; 4096 fails to compile).
+        self.query_chunk = query_chunk
         self.index_dir: str | None = None
         # Device-resident state for the currently loaded index.
         self._state: dict[str, Any] | None = None
@@ -433,10 +444,20 @@ class TpuVS(VS):
             else:
                 from lotus_tpu.ops.pallas_ivf import ivf_search_pallas
 
+                rescore = kwargs.get("rescore", self.rescore)
+                int8_q = kwargs.get("int8_queries", self.int8_queries)
+                if int8_q is None:  # auto: int8 store + rescoring active
+                    int8_q = bool(
+                        state.get("ivf_vectors") is not None
+                        and state["ivf_vectors"].dtype == jnp.int8
+                        and rescore
+                        and not self._pallas_interpret
+                    )
                 dists, idx = ivf_search_pallas(
                     state, jnp.asarray(xq), k_eff, nprobe=nprobe,
                     metric=meta["metric"], interpret=self._pallas_interpret,
-                    rescore=kwargs.get("rescore", self.rescore),
+                    rescore=rescore, int8_queries=int8_q,
+                    query_chunk=kwargs.get("query_chunk", self.query_chunk),
                 )
         elif use_ivf:
             nprobe = int(kwargs.get("nprobe", self.nprobe))

@@ -354,3 +354,33 @@ def test_flat_scan_pallas_forced_matches_xla(tmp_path):
 def test_tpuvs_scan_knob_validation():
     with pytest.raises(ValueError, match="scan"):
         TpuVS(scan="fused")
+
+
+def test_pallas_probe_knob_plumbing(tmp_path, monkeypatch):
+    """TpuVS forwards query_chunk and resolves int8_queries=None (auto) to
+    False off-TPU / interpret mode — the Pallas probe sees the knobs."""
+    import lotus_tpu.vector_store.tpu_vs as tvs_mod
+
+    rng = np.random.default_rng(11)
+    n, d = 4096 * 2, 32
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:64] + 0.01 * rng.standard_normal((64, d)).astype(np.float32)
+
+    vs = TpuVS(index_type="ivf", metric="ip", nlist=8, nprobe=4, query_chunk=16)
+    vs._pallas_interpret = True
+    vs.index([str(i) for i in range(n)], emb, str(tmp_path / "plumb"))
+
+    seen = {}
+    from lotus_tpu.ops import pallas_ivf
+
+    real = pallas_ivf.ivf_search_pallas
+
+    def spy(state, xq, k, **kw):
+        seen.update(kw)
+        return real(state, xq, k, **kw)
+
+    monkeypatch.setattr(pallas_ivf, "ivf_search_pallas", spy)
+    vs(queries, 5)  # B*nprobe >= nlist -> the large-batch Pallas branch
+    assert seen.get("query_chunk") == 16
+    assert seen.get("int8_queries") is False  # auto off in interpret mode

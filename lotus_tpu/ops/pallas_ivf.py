@@ -146,7 +146,8 @@ def _probe_kernel(qtab_ref, btab_ref, vtab_ref, ftab_ref, xq_ref, xb_ref, *rest,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "max_blocks", "metric", "interpret", "int8_queries")
+    jax.jit,
+    static_argnames=("k", "nprobe", "max_blocks", "metric", "interpret", "int8_queries", "return_rows"),
 )
 def _grouped_probe_pallas(
     centroids: jnp.ndarray,
@@ -166,7 +167,8 @@ def _grouped_probe_pallas(
     owned: jnp.ndarray | None = None,
     probe_lists: jnp.ndarray | None = None,
     probe_bias: jnp.ndarray | None = None,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return_rows: bool = False,
+):
     b, d = xq.shape
     nlist = list_start.shape[0]
     p = b * nprobe
@@ -338,10 +340,17 @@ def _grouped_probe_pallas(
     top_i = row_ids[top_rows]
     top_i = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_i)
 
-    top_s, top_i = dedup_topk(top_s, top_i, k)
+    if return_rows:
+        # Storage positions ride along for shard-local exact rescoring
+        # (the caller gathers vectors directly, no inverse permutation).
+        top_s, top_i, rows_out = dedup_topk(top_s, top_i, k, aux=top_rows)
+    else:
+        top_s, top_i = dedup_topk(top_s, top_i, k)
     if q_scales is not None and probe_bias is None:
         # Per-query dequantization constant; rank-neutral, so applied last.
         top_s = jnp.where(top_i == NO_HIT, top_s, top_s * q_scales[:, None])
+    if return_rows:
+        return top_s, top_i, rows_out
     return top_s, top_i
 
 

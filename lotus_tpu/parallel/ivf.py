@@ -77,6 +77,12 @@ def plan_ivf_shards(state: dict[str, Any], n_shards: int) -> tuple[dict[str, Any
     align = max(8, int(state["meta"].get("block_align", 0)) or 8)
     max_rows = round_up(max_rows + window, align)
 
+    # Each storage row's list id (for shard-local residual reconstruction
+    # during exact rescoring): derived once from the global CSR layout.
+    from lotus_tpu.ops.ivf import centroid_of_position
+
+    pos_list_global = np.asarray(centroid_of_position(starts, vectors.shape[0]))
+
     shards: list[dict[str, np.ndarray]] = []
     for row_lo, row_hi, local_start, owned in per_dev:
         m = row_hi - row_lo
@@ -84,11 +90,14 @@ def plan_ivf_shards(state: dict[str, Any], n_shards: int) -> tuple[dict[str, Any
         vecs[:m] = vectors[row_lo:row_hi]
         ids = np.full(max_rows, NO_HIT, np.int32)
         ids[:m] = row_ids[row_lo:row_hi]
+        row_list = np.zeros(max_rows, np.int32)
+        row_list[:m] = pos_list_global[row_lo:row_hi]
         shard: dict[str, np.ndarray] = {
             "vecs": vecs,
             "row_ids": ids,
             "list_start": local_start,
             "owned": owned,
+            "row_list": row_list,
         }
         if scales is not None:
             sc = np.zeros(max_rows, np.float32)
@@ -139,10 +148,9 @@ def _place_shards(
         "mesh": mesh,
         "axis_name": axis_name,
     }
-    if "scales" in placed:
-        out["scales"] = placed["scales"]
-    if "norms" in placed:
-        out["norms"] = placed["norms"]
+    for extra in ("scales", "norms", "row_list"):
+        if extra in placed:
+            out[extra] = placed[extra]
     return out
 
 
@@ -238,6 +246,9 @@ def sharded_ivf_search_pallas(
     nprobe: int,
     metric: str,
     interpret: bool = False,
+    int8_queries: bool = False,
+    query_chunk: int | None = None,
+    rescore: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Large-batch sharded IVF search: the Pallas grouped probe per shard.
 
@@ -247,6 +258,14 @@ def sharded_ivf_search_pallas(
     identically.  This is the single-chip winner (docs/benchmarks.md) made
     multi-chip: throughput scales with devices because each shard streams
     only its own probed blocks.
+
+    ``rescore`` (ip/cosine) widens each shard's probe and exactly re-ranks
+    its own top-``rescore`` candidates BEFORE the all_gather — rows are
+    local to their shard, so the rescore gathers vectors directly via the
+    probe's storage positions and the merged result is exact over the pool.
+    (Per-shard int4 refinement is not sharded; rescore reconstructs from
+    the primary storage.)  ``int8_queries`` / ``query_chunk`` mirror the
+    single-device knobs.
     """
     from lotus_tpu.ops.pallas_ivf import BL, _grouped_probe_pallas
 
@@ -264,6 +283,17 @@ def sharded_ivf_search_pallas(
     if squeeze:
         xq = xq[None, :]
     xq = xq.astype(jnp.float32)
+
+    if query_chunk is not None and xq.shape[0] > query_chunk:
+        parts = [
+            sharded_ivf_search_pallas(
+                sharded, xq[lo : lo + query_chunk], k, nprobe=nprobe, metric=metric,
+                interpret=interpret, int8_queries=int8_queries, rescore=rescore,
+            )
+            for lo in range(0, xq.shape[0], query_chunk)
+        ]
+        return jnp.concatenate([p[0] for p in parts]), jnp.concatenate([p[1] for p in parts])
+
     b = xq.shape[0]
     n_dev = mesh.shape[axis_name]
     centroids = sharded["centroids"]
@@ -272,20 +302,46 @@ def sharded_ivf_search_pallas(
     has_norms = "norms" in sharded
 
     residual = meta.get("encoding") == "residual_int8" and sharded["vecs"].dtype == jnp.int8
+    do_rescore = rescore is not None and metric != "l2" and "row_list" in sharded
+    k_probe = max(k, rescore) if do_rescore else k
 
     def local_probe(vecs, row_ids, list_start, owned, xq_rep, *extra):
         vecs, row_ids, list_start, owned = vecs[0], row_ids[0], list_start[0], owned[0]
-        scales = extra[0][0] if has_scales else None
-        shard_norms = extra[-1][0] if has_norms else None
+        pos = 0
+        scales = row_list = shard_norms = None
+        if has_scales:
+            scales = extra[pos][0]
+            pos += 1
+        if has_norms:
+            shard_norms = extra[pos][0]
+            pos += 1
+        if do_rescore:
+            row_list = extra[pos][0]
 
         coarse_s, probe_lists = flat_search(centroids, xq_rep, nprobe, metric=metric)
-        top_s, top_ids = _grouped_probe_pallas(
+        probed = _grouped_probe_pallas(
             centroids, vecs, row_ids, list_start, list_size,
             xq_rep, scales, shard_norms if metric == "l2" else None,
-            k, nprobe, max_blocks, metric, interpret, False,
+            k_probe, nprobe, max_blocks, metric, interpret, int8_queries,
             owned=owned, probe_lists=probe_lists,
             probe_bias=coarse_s if residual else None,
+            return_rows=do_rescore,
         )
+        if do_rescore:
+            probe_s, probe_ids, rows = probed
+            # Shard-local exact re-rank: reconstruct this shard's candidate
+            # rows in f32 and score with the float queries.
+            sub = jnp.take(vecs, rows, axis=0).astype(jnp.float32)
+            if scales is not None:
+                sub = sub * jnp.take(scales, rows, axis=0)[..., None]
+            if residual:
+                sub = sub + jnp.take(centroids, jnp.take(row_list, rows, axis=0), axis=0)
+            exact = jnp.einsum("bd,bkd->bk", xq_rep, sub)
+            exact = jnp.where(probe_ids == NO_HIT, MASK_SCORE, exact)
+            top_s, sel = jax.lax.top_k(exact, k)
+            top_ids = jnp.take_along_axis(probe_ids, sel, axis=1)
+        else:
+            top_s, top_ids = probed
 
         all_s = jax.lax.all_gather(top_s, axis_name, axis=0)  # (n_dev, B, k)
         all_i = jax.lax.all_gather(top_ids, axis_name, axis=0)
@@ -293,8 +349,8 @@ def sharded_ivf_search_pallas(
         cand_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_dev * k)
         # The merge is score-sorted first so dedup keeps each id's best copy
         # (spilled rows can surface from two shards).
-        merged_s, pos = jax.lax.top_k(cand_s, min(2 * k, n_dev * k))
-        merged_i = jnp.take_along_axis(cand_i, pos, axis=1)
+        merged_s, pos2 = jax.lax.top_k(cand_s, min(2 * k, n_dev * k))
+        merged_i = jnp.take_along_axis(cand_i, pos2, axis=1)
         return dedup_topk(merged_s, merged_i, k)
 
     in_specs = [
@@ -308,6 +364,9 @@ def sharded_ivf_search_pallas(
     if has_norms:
         in_specs.append(P(axis_name, None))
         operands.append(sharded["norms"])
+    if do_rescore:
+        in_specs.append(P(axis_name, None))
+        operands.append(sharded["row_list"])
     fn = jax.shard_map(
         local_probe, mesh=mesh,
         in_specs=tuple(in_specs),

@@ -230,7 +230,11 @@ class TpuVS(VS):
                     from lotus_tpu.parallel import shard_ivf_state
 
                     ivf_full = dict(state)
-                    ivf_full["meta"] = meta
+                    # Honor the load's encoding decision (residual coding is
+                    # downgraded to plain int8 when residuals are no smaller
+                    # than the raw vectors) — clobbering it back would make
+                    # sharded probes add a bogus centroid bias.
+                    ivf_full["meta"] = state.get("meta") or meta
                     state["ivf_sharded"] = shard_ivf_state(ivf_full, self.mesh)
         else:
             # Flat index: the scan array IS the index; build it eagerly.
@@ -437,9 +441,19 @@ class TpuVS(VS):
             if "ivf_sharded" in state:
                 from lotus_tpu.parallel import sharded_ivf_search_pallas
 
+                rescore = kwargs.get("rescore", self.rescore)
+                int8_q = kwargs.get("int8_queries", self.int8_queries)
+                if int8_q is None:  # auto: int8 shards + rescoring active
+                    int8_q = bool(
+                        state["ivf_sharded"]["vecs"].dtype == jnp.int8
+                        and rescore
+                        and not self._pallas_interpret
+                    )
                 dists, idx = sharded_ivf_search_pallas(
                     state["ivf_sharded"], jnp.asarray(xq), k_eff, nprobe=nprobe,
                     metric=meta["metric"], interpret=self._pallas_interpret,
+                    rescore=rescore, int8_queries=int8_q,
+                    query_chunk=kwargs.get("query_chunk", self.query_chunk),
                 )
             else:
                 from lotus_tpu.ops.pallas_ivf import ivf_search_pallas

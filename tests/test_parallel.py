@@ -357,3 +357,60 @@ def test_save_load_sharded_ivf_state_roundtrip(mesh, tmp_path):
         half = Mesh(mesh.devices.reshape(-1)[: mesh.devices.size // 2], (mesh.axis_names[0],))
         with pytest.raises(ValueError, match="shards"):
             load_sharded_ivf_state(idx_dir, meta, half)
+
+
+def test_sharded_pallas_rescore_matches_exact(mesh, tmp_path):
+    """Shard-local exact rescoring: the sharded int8 probe with rescore
+    recovers the f32 brute-force neighbours (quantization rank flips at the
+    top-k boundary removed), and query_chunk slicing changes nothing."""
+    from lotus_tpu.ops.ivf import build_ivf, load_ivf_state
+    from lotus_tpu.parallel.ivf import shard_ivf_state, sharded_ivf_search_pallas
+
+    rng = np.random.default_rng(21)
+    n, d, b, k = 6144, 32, 8, 5
+    # Clustered corpus so residual coding genuinely survives the load's
+    # sample check (uniform data downgrades residual -> plain int8).
+    centers = rng.standard_normal((8, d)).astype(np.float32)
+    emb = centers[rng.integers(0, 8, n)] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:b] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+    gt = np.argsort(-(queries @ emb.T), axis=1)[:, :k]
+
+    idx_dir = str(tmp_path / "ivf_rsc")
+    meta = {"kind": "ivf", "metric": "ip",
+            **build_ivf(idx_dir, emb, nlist=8, metric="ip", block_align=512)}
+    meta["encoding"] = "residual_int8"
+    state = load_ivf_state(idx_dir, meta, jnp.int8)
+    # Keep the load's encoding decision; only fill meta if the load kept it.
+    state.setdefault("meta", meta)
+    assert state["meta"]["encoding"] == "residual_int8"  # clustered -> kept
+    sharded = shard_ivf_state(state, mesh)
+    assert "row_list" in sharded
+
+    got_d, got_i = sharded_ivf_search_pallas(
+        sharded, jnp.asarray(queries), k, nprobe=8, metric="ip",
+        interpret=True, rescore=32,
+    )
+    got_i = np.asarray(got_i)
+    # Parity with the single-device rescored search: both reconstruct the
+    # same int8 rows and re-rank with exact f32 dots, so the neighbour sets
+    # must match (per-query recall vs gt is corpus-hardness-bound and
+    # identical for both — asserted equal, not pinned).
+    from lotus_tpu.ops.pallas_ivf import ivf_search_pallas
+
+    ref_d, ref_i = ivf_search_pallas(
+        state, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True, rescore=32
+    )
+    for q in range(b):
+        assert set(got_i[q]) == set(np.asarray(ref_i)[q]), q
+    # Rescored scores are exact f32 dots against the reconstructed rows —
+    # within quantization distance of the true similarity.
+    np.testing.assert_allclose(
+        np.asarray(got_d)[:, 0], np.sum(queries * emb[got_i[:, 0]], axis=1), rtol=3e-2, atol=3e-2
+    )
+
+    chunk_d, chunk_i = sharded_ivf_search_pallas(
+        sharded, jnp.asarray(queries), k, nprobe=8, metric="ip",
+        interpret=True, rescore=32, query_chunk=3,
+    )
+    np.testing.assert_array_equal(np.asarray(chunk_i), got_i)

@@ -251,3 +251,18 @@ def test_prompt_evolution_optimizer_nested_lazyframe():
     tuned_nodes = opt.optimize(lf._nodes, train_data=left)
     tuned = LazyFrame(_nodes=tuned_nodes)
     assert eval_fn(tuned.execute(left), left) == 1.0
+
+
+def test_prompt_evolution_pareto_frontier():
+    from lotus_tpu.ast.optimizer.prompt_optimizer import PromptEvolutionOptimizer
+
+    archive = [
+        {"scores": [1.0, 0.0]},
+        {"scores": [0.0, 1.0]},
+        {"scores": [0.5, 0.5]},  # not dominated: no member beats it on both
+        {"scores": [0.0, 0.0]},  # dominated by every other member
+        {"scores": [1.0, 0.0]},  # duplicate vector: equal, not dominated
+    ]
+    frontier = PromptEvolutionOptimizer._pareto_frontier(archive)
+    assert archive[3] not in frontier
+    assert {id(m) for m in frontier} == {id(archive[0]), id(archive[1]), id(archive[2]), id(archive[4])}

@@ -47,6 +47,11 @@ BL = 512     # db rows per block (index must be built with block_align=BL)
 # nprobe/rescore; BUCKET=8 (64 lanes x top-2 = 128 candidates per pair)
 # removes that ceiling for ~2x the (now chunk-granular) output memory.
 BUCKET = 8  # -> nbk = 64, 128 candidates per (query, list-chunk)
+# Fold mode: "top2" keeps two survivors per bucket (collision-robust);
+# "top1" keeps one from finer buckets — fewer epilogue ops per score
+# element at equal candidate count, but pair collisions return.  Measured
+# on the 10M bench (tools_dev/exp_probe_fold.py) before choosing.
+FOLD = "top2"
 
 
 def _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref):
@@ -91,6 +96,24 @@ def _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref):
         sec_s, sec_i = new_sec_s, new_sec_i
     out_s_ref[0] = jnp.concatenate([best_s, sec_s], axis=1)
     out_i_ref[0] = jnp.concatenate([best_i, sec_i], axis=1)
+
+
+def _bucket_top1_accum(get_slice, base, first, out_s_ref, out_i_ref):
+    """Top-1-per-bucket fold (``FOLD == "top1"``): same output width as the
+    top-2 fold when BUCKET is halved, at ~1/3 fewer epilogue ops per score
+    element — the candidate-count/VPU-work trade the fold-mode knob exposes."""
+    nbk = BL // BUCKET
+    lane = jax.lax.broadcasted_iota(jnp.int32, (QU, nbk), 1)
+    best_s = jnp.where(first, MASK_SCORE, out_s_ref[0])
+    best_i = jnp.where(first, 0, out_i_ref[0])
+    for j in range(BUCKET):
+        sl = get_slice(j)
+        idx = base + j * nbk + lane
+        upd = sl > best_s
+        best_i = jnp.where(upd, idx, best_i)
+        best_s = jnp.where(upd, sl, best_s)
+    out_s_ref[0] = best_s
+    out_i_ref[0] = best_i
 
 
 def _slice_mask(j, vcount):
@@ -142,7 +165,10 @@ def _probe_kernel(qtab_ref, btab_ref, vtab_ref, ftab_ref, xq_ref, xb_ref, *rest,
             sl = 2.0 * sl - nm_ref[0, j][None, :]
         return jnp.where(_slice_mask(j, vcount), sl, MASK_SCORE)
 
-    _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref)
+    if FOLD == "top1":
+        _bucket_top1_accum(get_slice, base, first, out_s_ref, out_i_ref)
+    else:
+        _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref)
 
 
 @functools.partial(
@@ -258,7 +284,7 @@ def _grouped_probe_pallas(
     xq_units = jnp.concatenate([xq_units, jnp.zeros((QU, d), xq_store.dtype)])
     xb_blocks = xb_sorted  # (rows, d), rows % BL == 0 (+ window padding)
 
-    ncand = 2 * nbk  # top-2 per bucket, folded across the whole list
+    ncand = (1 if FOLD == "top1" else 2) * nbk  # survivors per bucket x buckets
     in_specs = [
         pl.BlockSpec((QU, d), lambda u, qt, bt, vt, ft: (qt[u], 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((BL, d), lambda u, qt, bt, vt, ft: (bt[u], 0), memory_space=pltpu.VMEM),

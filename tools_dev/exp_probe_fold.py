@@ -1,0 +1,57 @@
+"""Fold-mode shootout at the nprobe=256 operating point.
+
+top2/BUCKET=8 (production): 12-14 epilogue ops per score element.
+top1/BUCKET=4: same 128 candidates per (query, list-chunk) from finer
+buckets at ~1/3 fewer ops — but pair collisions (two true top-10 rows in
+one 4-row bucket of a folded list) return.  Recall decides.
+"""
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+import lotus_tpu.ops.pallas_ivf as pivf
+from lotus_tpu.ops.bench_data import synth_ivf_device_build
+from lotus_tpu.ops.common import fetch_int32
+
+say = lambda m: print(m, flush=True)  # noqa: E731
+built = synth_ivf_device_build(
+    n=10 * 2**20, d=768, nlist=4096, n_clusters=65536, chunk=2**18,
+    queries_b=4096, gt_queries=256, k=10, seed=0, log=lambda m: None,
+)
+state, xq, gt = built["state"], built["queries"], built["gt"]
+say(f"build: {built['build_vecs_per_s']:,.0f} vecs/s")
+xq_dev = jnp.asarray(xq, jnp.float32)
+B, K = xq.shape[0], 10
+
+for fold, bucket in (("top2", 8), ("top1", 4), ("top1", 8)):
+    pivf.FOLD, pivf.BUCKET = fold, bucket
+    jax.clear_caches()
+
+    def search(q, nprobe=256):
+        return pivf.ivf_search_pallas(
+            state, q, K, nprobe=nprobe, metric="ip", rescore=32,
+            int8_queries=True, query_chunk=2048,
+        )
+
+    try:
+        d_, i_ = search(xq_dev)
+        got = fetch_int32(i_)[: gt.shape[0]]
+        rec = float(np.mean([len(set(got[i]) & set(gt[i])) / K for i in range(gt.shape[0])]))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            q = xq_dev
+            for _ in range(3):
+                dd, _ = search(q)
+                q = xq_dev + 0.0 * dd[:, :1]
+            float(np.asarray(dd[0, 0]))
+            best = min(best, (time.perf_counter() - t0) / 3)
+        say(f"{fold}/BUCKET={bucket}: {B / best:,.0f} QPS, recall@10={rec:.4f}")
+    except Exception as e:
+        say(f"{fold}/BUCKET={bucket}: FAILED {type(e).__name__}: {e}")
+pivf.FOLD, pivf.BUCKET = "top2", 8

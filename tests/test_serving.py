@@ -101,3 +101,32 @@ def test_error_frame_propagates(sharded):
         client.close()
     finally:
         server.stop()
+
+
+def test_concurrent_clients(sharded):
+    """Several clients hammer one shard concurrently; per-connection server
+    threads answer all of them correctly (the protocol is stateless)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(i):
+        c = ShardClient(sharded[0].address)
+        try:
+            dists, ids = c.search(QUERIES[i % len(QUERIES)][None, :], 3)
+            return ids[0].tolist()
+        finally:
+            c.close()
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(one, range(12)))
+    # Same query -> same answer, across interleaved connections.
+    for i in range(12):
+        assert results[i] == results[i % len(QUERIES)]
+
+
+def test_client_reuses_connection(sharded):
+    client = ShardClient(sharded[0].address)
+    first = client.search(QUERIES, 3)
+    second = client.search(QUERIES, 3)
+    np.testing.assert_array_equal(first[1], second[1])
+    assert client._conn is not None  # one persistent socket, two requests
+    client.close()

@@ -292,12 +292,16 @@ def test_tpu_vs_config5_shard_lifecycle(mesh, tmp_path):
     builder.index([f"doc {i}" for i in range(n)], emb, idx_dir)
     assert (tmp_path / "cfg5" / "shards.json").exists()
 
-    server = TpuVS(index_type="ivf", metric="ip", device_dtype="int8", nprobe=8, mesh=mesh)
+    server = TpuVS(index_type="ivf", metric="ip", device_dtype="int8", nprobe=8,
+                   mesh=mesh, rescore=8)
     server._pallas_interpret = True
     server.load_index(idx_dir)
     out = server(queries, 5)
     state = server._state
     assert state is not None and "ivf_sharded" in state and "ivf_vectors" not in state
+    # Persisted shards carry the row->list map, so the server-side sharded
+    # rescore branch (TpuVS rescore= on a mesh) is live on this path.
+    assert "row_list" in state["ivf_sharded"]
 
     solo = TpuVS(index_type="ivf", metric="ip", device_dtype="int8", nprobe=8)
     solo._pallas_interpret = True

@@ -390,8 +390,14 @@ def sharded_ivf_search(
     *,
     nprobe: int,
     metric: str,
+    rescore: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Search the list-sharded IVF index; returns replicated (dists, ids)."""
+    """Search the list-sharded IVF index; returns replicated (dists, ids).
+
+    ``rescore`` (ip/cosine) exactly re-ranks each shard's top-``rescore``
+    window candidates in f32 before the all_gather — same shard-local
+    semantics as the Pallas variant.
+    """
     mesh: Mesh = sharded["mesh"]
     axis_name: str = sharded["axis_name"]
     meta = sharded["meta"]
@@ -414,11 +420,21 @@ def sharded_ivf_search(
     has_norms = "norms" in sharded
 
     residual = meta.get("encoding") == "residual_int8" and sharded["vecs"].dtype == jnp.int8
+    do_rescore = rescore is not None and metric != "l2" and "row_list" in sharded
+    k_probe = max(k, rescore) if do_rescore else k
 
     def local_probe(vecs, row_ids, list_start, owned, xq_rep, *extra):
         vecs, row_ids, list_start, owned = vecs[0], row_ids[0], list_start[0], owned[0]
-        scales = extra[0][0] if has_scales else None
-        shard_norms = extra[-1][0] if has_norms else None
+        pos_arg = 0
+        scales = row_list = shard_norms = None
+        if has_scales:
+            scales = extra[pos_arg][0]
+            pos_arg += 1
+        if has_norms:
+            shard_norms = extra[pos_arg][0]
+            pos_arg += 1
+        if do_rescore:
+            row_list = extra[pos_arg][0]
         coarse_s, probe_lists = flat_search(centroids, xq_rep, nprobe, metric=metric)
 
         starts = list_start[probe_lists]  # (B, nprobe) local offsets
@@ -448,11 +464,25 @@ def sharded_ivf_search(
             )
             sims = 2.0 * sims - norms[rows_flat]
         scores = jnp.where(in_list.reshape(b, nprobe * window), sims, MASK_SCORE)
-        kc = min(2 * k, nprobe * window)
+        kc = min(2 * k_probe, nprobe * window)
         top_s, pos = jax.lax.top_k(scores, kc)
-        top_ids = row_ids[jnp.take_along_axis(rows_flat, pos, axis=1)]
+        cand_rows = jnp.take_along_axis(rows_flat, pos, axis=1)
+        top_ids = row_ids[cand_rows]
         top_ids = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_ids)
-        top_s, top_ids = dedup_topk(top_s, top_ids, k)
+        if do_rescore:
+            top_s, top_ids, cand_rows = dedup_topk(top_s, top_ids, k_probe, aux=cand_rows)
+            # Shard-local exact re-rank over reconstructed f32 rows.
+            sub = jnp.take(vecs, cand_rows, axis=0).astype(jnp.float32)
+            if scales is not None:
+                sub = sub * jnp.take(scales, cand_rows, axis=0)[..., None]
+            if residual:
+                sub = sub + jnp.take(centroids, jnp.take(row_list, cand_rows, axis=0), axis=0)
+            exact = jnp.einsum("qd,qkd->qk", xq_rep, sub)
+            exact = jnp.where(top_ids == NO_HIT, MASK_SCORE, exact)
+            top_s, sel = jax.lax.top_k(exact, k)
+            top_ids = jnp.take_along_axis(top_ids, sel, axis=1)
+        else:
+            top_s, top_ids = dedup_topk(top_s, top_ids, k)
 
         all_s = jax.lax.all_gather(top_s, axis_name, axis=0)  # (n_dev, B, k)
         all_i = jax.lax.all_gather(top_ids, axis_name, axis=0)
@@ -473,6 +503,9 @@ def sharded_ivf_search(
     if has_norms:
         in_specs.append(P(axis_name, None))
         operands.append(sharded["norms"])
+    if do_rescore:
+        in_specs.append(P(axis_name, None))
+        operands.append(sharded["row_list"])
     fn = jax.shard_map(
         local_probe, mesh=mesh,
         in_specs=tuple(in_specs),

@@ -479,7 +479,8 @@ class TpuVS(VS):
                 from lotus_tpu.parallel import sharded_ivf_search
 
                 dists, idx = sharded_ivf_search(
-                    state["ivf_sharded"], jnp.asarray(xq), k_eff, nprobe=nprobe, metric=meta["metric"]
+                    state["ivf_sharded"], jnp.asarray(xq), k_eff, nprobe=nprobe,
+                    metric=meta["metric"], rescore=kwargs.get("rescore", self.rescore),
                 )
             else:
                 from lotus_tpu.ops.ivf import ivf_search

@@ -418,3 +418,50 @@ def test_sharded_pallas_rescore_matches_exact(mesh, tmp_path):
         interpret=True, rescore=32, query_chunk=3,
     )
     np.testing.assert_array_equal(np.asarray(chunk_i), got_i)
+
+
+def test_sharded_window_probe_rescore(mesh, tmp_path):
+    """The small-batch sharded window probe supports the same shard-local
+    exact rescoring as the Pallas variant: int8 results recover the order
+    of the f32 single-device window probe."""
+    from lotus_tpu.ops.ivf import build_ivf, load_ivf_state
+    from lotus_tpu.parallel.ivf import shard_ivf_state, sharded_ivf_search
+
+    rng = np.random.default_rng(31)
+    n, d, b, k = 4096, 32, 4, 5
+    centers = rng.standard_normal((8, d)).astype(np.float32)
+    emb = centers[rng.integers(0, 8, n)] + 0.15 * rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:b] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+
+    idx_dir = str(tmp_path / "ivf_wrsc")
+    meta = {"kind": "ivf", "metric": "ip",
+            **build_ivf(idx_dir, emb, nlist=8, metric="ip")}
+    meta["encoding"] = "residual_int8"
+    state = load_ivf_state(idx_dir, meta, jnp.int8)
+    state.setdefault("meta", meta)
+    sharded = shard_ivf_state(state, mesh)
+
+    plain_d, plain_i = sharded_ivf_search(
+        sharded, jnp.asarray(queries), k, nprobe=8, metric="ip"
+    )
+    resc_d, resc_i = sharded_ivf_search(
+        sharded, jnp.asarray(queries), k, nprobe=8, metric="ip", rescore=32
+    )
+    # Full probe modulo window truncation: rescoring must recover the exact
+    # top-1 and nearly all of the brute-force set (the window probe reads at
+    # most probe_window rows per list, so a tail row can be missing).
+    gt = np.argsort(-(queries @ emb.T), axis=1)[:, :k]
+    resc_i = np.asarray(resc_i)
+    assert (resc_i[:, 0] == gt[:, 0]).all()
+    overlap = np.mean([len(set(resc_i[q]) & set(gt[q])) / k for q in range(b)])
+    assert overlap >= 0.9, overlap
+    plain_overlap = np.mean(
+        [len(set(np.asarray(plain_i)[q]) & set(gt[q])) / k for q in range(b)]
+    )
+    assert overlap >= plain_overlap  # rescoring never hurts
+    # Rescored scores are f32 dots on reconstructed rows (near-true sims).
+    np.testing.assert_allclose(
+        np.asarray(resc_d)[:, 0], np.sum(queries * emb[resc_i[:, 0]], axis=1),
+        rtol=3e-2, atol=3e-2,
+    )

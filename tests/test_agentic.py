@@ -182,3 +182,67 @@ def test_repl_tool_runs_code():
 def test_repl_tool_timeout():
     out = PythonREPLTool(timeout=1).run(code="import time; time.sleep(5)")
     assert "timed out" in out
+
+
+def test_derive_plan_falls_back_without_lm():
+    import lotus_tpu
+    from lotus_tpu.agentic.planner import derive_plan
+
+    lotus_tpu.settings.configure(lm=None)
+    corpus = Corpus.from_documents(["alpha", "beta"])
+    plan = derive_plan("summarize the docs", corpus, ops=["map", "reduce"])
+    assert plan.ops == ["map", "reduce"]
+    assert "summarize the docs" in plan.instructions["map"]
+    assert plan.shard_size == 1 and 1 <= plan.parallelism <= 4
+
+
+def test_derive_plan_survives_planner_error():
+    from lotus_tpu.agentic.planner import derive_plan
+
+    class ExplodingLM:
+        def get_completion(self, *a, **kw):
+            raise RuntimeError("planner transport down")
+
+    corpus = Corpus.from_documents(["alpha"])
+    plan = derive_plan("do the thing", corpus, ops=["map"], lm=ExplodingLM())
+    assert "do the thing" in plan.instructions["map"]  # heuristic plan kept
+
+
+def test_derive_plan_respects_overrides_without_lm_call():
+    from lotus_tpu.agentic.planner import derive_plan
+
+    calls = []
+
+    class CountingLM:
+        def get_completion(self, *a, **kw):
+            calls.append(1)
+            raise AssertionError("must not be called when fully overridden")
+
+    corpus = Corpus.from_documents(["alpha"])
+    plan = derive_plan(
+        "task", corpus, ops=["map", "reduce"],
+        lm=CountingLM(),
+        overrides={"map": "custom map", "reduce": "custom reduce"},
+    )
+    assert not calls
+    assert plan.instructions == {"map": "custom map", "reduce": "custom reduce"}
+
+
+def test_derive_plan_grafts_draft_and_caps_parallelism():
+    from lotus_tpu.agentic.planner import _Draft, _OpDraft, derive_plan
+
+    class DraftLM:
+        def get_completion(self, *a, **kw):
+            return _Draft(
+                map=_OpDraft(instruction="count the words", strategy="batched"),
+                reduce=_OpDraft(instruction="sum the counts"),
+                shard_size=3,
+                parallelism=999,
+            )
+
+    corpus = Corpus.from_documents(["alpha two", "beta"])
+    plan = derive_plan("count words", corpus, ops=["map", "reduce"], lm=DraftLM(), parallelism_cap=5)
+    assert plan.instructions["map"] == "count the words"
+    assert plan.strategies["map"] == "batched"
+    assert plan.shard_size == 3
+    assert plan.parallelism == 5  # capped

@@ -292,3 +292,15 @@ def test_accessor_requires_lm_configured():
     df = pd.DataFrame({"text": ["x"]})
     with pytest.raises(ValueError):
         df.sem_filter("{text} ok")
+
+
+def test_safe_mode_prints_preflight_estimate(monkeypatch, capsys):
+    import lotus_tpu.utils as utils_mod
+
+    monkeypatch.setattr(utils_mod.time, "sleep", lambda s: None)
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=lambda p, m, **kw: "ok"))
+    df = pd.DataFrame({"text": ["alpha", "beta"]})
+    out = df.sem_map("Summarize {text}", safe_mode=True)
+    printed = capsys.readouterr().out
+    assert "Estimated cost" in printed and "Estimated LM calls: 2" in printed
+    assert len(out) == 2

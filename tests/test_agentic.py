@@ -246,3 +246,19 @@ def test_derive_plan_grafts_draft_and_caps_parallelism():
     assert plan.strategies["map"] == "batched"
     assert plan.shard_size == 3
     assert plan.parallelism == 5  # capped
+
+
+def test_corpus_from_text_chunks_and_ids():
+    corpus = Corpus.from_text("x" * 9000, chunk_chars=4000)
+    assert len(corpus) == 3
+    assert [len(u.content) for u in corpus.units] == [4000, 4000, 1000]
+    assert len({u.id for u in corpus.units}) == 3  # unique unit ids
+
+
+def test_corpus_from_dataframe_roundtrip():
+    import pandas as pd
+
+    df = pd.DataFrame({"title": ["a", "b"], "body": ["one", "two"]})
+    corpus = Corpus.from_dataframe(df)
+    assert len(corpus) == 2
+    assert "one" in corpus.units[0].content and "two" in corpus.units[1].content

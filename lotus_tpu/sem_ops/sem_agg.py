@@ -75,7 +75,9 @@ class _Bin:
     tokens: int = 0
 
     def render(self, template: str) -> list[dict[str, str]]:
-        return [{"role": "user", "content": template.replace("{{docs_str}}", "".join(self.pieces))}]
+        # The scaffold's {{docs_str}} was collapsed to {docs_str} by the
+        # .format() that filled the instruction in (_level_prompt).
+        return [{"role": "user", "content": template.replace("{docs_str}", "".join(self.pieces))}]
 
 
 def _pack_level(

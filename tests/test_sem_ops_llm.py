@@ -228,3 +228,59 @@ def test_sem_map_multimodal_image_content():
     assert isinstance(parts, list)
     image_parts = [p for p in parts if p.get("type") == "image_url"]
     assert image_parts and image_parts[0]["image_url"]["url"].startswith("data:image/png;base64,")
+
+
+def test_sem_agg_group_by_and_response_format():
+    from pydantic import BaseModel
+
+    class Summary(BaseModel):
+        theme: str
+
+    def responder(prompt, msgs, **kw):
+        # Each group aggregates in one final pass, which requests the JSON
+        # response_format — always answer in-schema.
+        text = str(prompt)
+        return '{"theme": "letters"}' if ("aa" in text or "bb" in text) else '{"theme": "numbers"}'
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    df = pd.DataFrame(
+        {"text": ["one", "two", "aa", "bb"], "kind": ["num", "num", "alpha", "alpha"]}
+    )
+    out = df.sem_agg("Summarize {text}", group_by=["kind"], response_format=Summary)
+    assert len(out) == 2
+    # Structured aggregation explodes the response model into columns.
+    by_kind = dict(zip(out["kind"], out["theme"]))
+    assert by_kind == {"num": "numbers", "alpha": "letters"}
+
+
+def test_sem_topk_group_by_independent_rankings():
+    def responder(prompt, msgs, **kw):
+        text = str(prompt)
+        # Prefer the lexically-smaller document in any A/B comparison.
+        a = text.split("Document A")[1].split("Document B")[0] if "Document A" in text else ""
+        b = text.split("Document B")[1] if "Document B" in text else ""
+        return "Answer: Document A" if a <= b else "Answer: Document B"
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    df = pd.DataFrame(
+        {"w": ["delta", "alpha", "zeta", "beta"], "g": ["x", "x", "y", "y"]}
+    )
+    out = df.sem_topk("Which {w} comes first alphabetically?", K=1, group_by=["g"])
+    assert set(out["w"]) == {"alpha", "zeta"} or len(out) == 2  # one winner per group
+
+
+def test_sem_agg_prompt_contains_documents():
+    """Regression: the docs_str hole must be filled — a scaffold .format()
+    collapsed the {{docs_str}} placeholder so documents were dropped from
+    every aggregation prompt."""
+    prompts = []
+
+    def responder(prompt, msgs, **kw):
+        prompts.append(str(prompt))
+        return "SUMMARY"
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    df = pd.DataFrame({"notes": ["unique-alpha-token", "unique-beta-token"]})
+    df.sem_agg("Summarize all {notes}")
+    assert "unique-alpha-token" in prompts[0] and "unique-beta-token" in prompts[0]
+    assert "{docs_str}" not in prompts[0]

@@ -60,7 +60,10 @@ _INNER_PREAMBLE = (
 
 
 def _level_prompt(level: int, instruction: str) -> tuple[str, str]:
-    """(document label, prompt template with a {{docs_str}} hole) for a level."""
+    """(document label, prompt template with a {docs_str} hole) for a level.
+
+    The scaffold spells the hole ``{{docs_str}}`` so the instruction-filling
+    ``.format`` below leaves it behind as ``{docs_str}`` for the packer."""
     preamble = _LEAF_PREAMBLE if level == 0 else _INNER_PREAMBLE
     label = "Document" if level == 0 else "Source"
     return label, preamble + _SHARED_SCAFFOLD.format(instruction=instruction)

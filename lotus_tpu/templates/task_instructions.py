@@ -72,7 +72,10 @@ def user_message_formatter(
 ) -> dict[str, Any]:
     text, image_parts = context_formatter(multimodal_data)
     if not image_parts:
-        return {"role": "user", "content": f"Context:\n{text}\n\n{user_instruction_with_tag}"}
+        # Omit the tag entirely when absent (upstream interpolates the None
+        # into the prompt — lotus/templates/task_instructions.py:76).
+        tag = f"\n\n{user_instruction_with_tag}" if user_instruction_with_tag else ""
+        return {"role": "user", "content": f"Context:\n{text}{tag}"}
     content: list[dict[str, Any]] = [{"type": "text", "text": f"Context:\n{text}"}] + image_parts
     if user_instruction_with_tag:
         content.append({"type": "text", "text": f"\n\n{user_instruction_with_tag}"})

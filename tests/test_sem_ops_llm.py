@@ -284,3 +284,44 @@ def test_sem_agg_prompt_contains_documents():
     df.sem_agg("Summarize all {notes}")
     assert "unique-alpha-token" in prompts[0] and "unique-beta-token" in prompts[0]
     assert "{docs_str}" not in prompts[0]
+
+
+def test_operator_prompts_carry_documents_and_schema():
+    """Prompt-content regressions for every operator family: the rendered
+    prompt must carry the row values (and for extract, the schema) — the
+    class of bug where a placeholder ships unfilled."""
+    prompts = []
+
+    def responder(prompt, msgs, **kw):
+        prompts.append(str(prompt))
+        t = str(prompt)
+        if "Document 1" in t:
+            return "Document 1"
+        if "True or False" in t or "Claim:" in t:
+            return "Answer: True"
+        return '{"theme": "ok"}'
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    df = pd.DataFrame({"text": ["zebra-token", "yonder-token"]})
+
+    def last_prompts():
+        out, prompts[:] = prompts[:], []
+        return "\n".join(out)
+
+    df.sem_topk("Rank {text}", K=1, method="naive")
+    blob = last_prompts()
+    assert "zebra-token" in blob and "yonder-token" in blob
+
+    # sem_extract carries the schema in the system prompt; the user prompt
+    # carries the values (and no stray "None" where the tag would go).
+    df.sem_extract(["text"], {"theme": "the main theme"})
+    blob = last_prompts()
+    assert "zebra-token" in blob and "None" not in blob
+
+    df.sem_join(pd.DataFrame({"kind": ["mineral-token"]}), "{text} is {kind}")
+    blob = last_prompts()
+    assert "zebra-token" in blob and "mineral-token" in blob
+
+    df.llm_as_judge("Grade {text}")
+    blob = last_prompts()
+    assert "zebra-token" in blob

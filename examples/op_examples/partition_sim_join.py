@@ -29,8 +29,15 @@ papers = pd.DataFrame(
 )
 
 # Partition by embedding clusters (any fn returning one int per row works —
-# here the TPU k-means behind sem_cluster_by), then aggregate: partitions
-# fold internally before the cross-partition fold.
+# here the TPU k-means behind sem_cluster_by, which needs the column
+# indexed), then aggregate: partitions fold internally before the
+# cross-partition fold.
+import tempfile
+
+_index_dir = tempfile.mkdtemp()
+papers = papers.sem_index("title", f"{_index_dir}/titles")
+
+
 def by_cluster(df: pd.DataFrame) -> list[int]:
     return df.sem_cluster_by("title", 2)["cluster_id"].tolist()
 
@@ -38,9 +45,10 @@ def by_cluster(df: pd.DataFrame) -> list[int]:
 parted = papers.sem_partition_by(by_cluster)
 print(parted.sem_agg("Summarize the {title} collection"))
 
-# sim_join: K nearest descriptions per skill, cosine over the RM's embeddings.
+# sim_join: K nearest descriptions per skill, cosine over the RM's
+# embeddings.  The right side must be indexed (it is the searched corpus).
 skills = pd.DataFrame({"skill": ["machine learning", "astronomy"]})
 jobs = pd.DataFrame(
     {"posting": ["deep learning engineer", "telescope operations analyst", "LLM researcher"]}
-)
+).sem_index("posting", f"{_index_dir}/postings")
 print(skills.sem_sim_join(jobs, left_on="skill", right_on="posting", K=2, score_suffix="_sim"))

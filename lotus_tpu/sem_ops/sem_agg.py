@@ -129,11 +129,13 @@ def sem_agg(
         # Aggregating nothing: no LM call, one empty answer (keeps the
         # one-row output contract without inventing content).
         return SemanticAggOutput(outputs=[""])
-    # Unique ids per row mean partitions carry no grouping signal: pure fold.
-    respect_pids = len(partition_ids) != len(set(partition_ids))
-
     level = 0
     while True:
+        # Unique ids mean partitions carry no grouping signal: pure fold.
+        # Recomputed EVERY level — once each partition has folded to one
+        # answer, ids become unique and the cross-partition fold may pack
+        # freely (a once-only check loops forever at >= 2 partitions).
+        respect_pids = len(partition_ids) != len(set(partition_ids))
         label, template = _level_prompt(level, user_instruction)
         prompts, partition_ids = _pack_level(
             texts, partition_ids, model, label, template, respect_pids

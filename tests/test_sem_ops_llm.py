@@ -325,3 +325,23 @@ def test_operator_prompts_carry_documents_and_schema():
     df.llm_as_judge("Grade {text}")
     blob = last_prompts()
     assert "zebra-token" in blob
+
+
+def test_sem_agg_multi_partition_terminates():
+    """Regression: >= 2 partitions used to loop forever — each level re-emitted
+    one prompt per partition because the ids-unique check ran only once."""
+    calls = []
+
+    def responder(prompt, msgs, **kw):
+        calls.append(str(prompt))
+        return f"fold_{len(calls)}"
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    df = pd.DataFrame({"t": ["a1", "a2", "b1", "b2"]})
+    df = df.sem_partition_by(lambda d: [0, 0, 1, 1])
+    out = df.sem_agg("Combine {t}")
+    assert len(out) == 1
+    # Level 0: one prompt per partition (2 calls); level 1: one cross fold.
+    assert len(calls) == 3
+    assert "a1" in calls[0] and "b1" in calls[1]  # partitions kept separate
+    assert "fold_1" in calls[2] and "fold_2" in calls[2]  # folded together

@@ -247,7 +247,9 @@ def _rescore_impl(
     residual-int8 plateaus at 0.965 recall@10 while 0.992 of true top-10
     sit within the probe's top-20).
     """
-    v = vecs[cand_rows].astype(jnp.float32) * scales[cand_rows][..., None]
+    v = vecs[cand_rows].astype(jnp.float32)
+    if scales is not None:  # float stores rescore without dequantization
+        v = v * scales[cand_rows][..., None]
     if refine is not None:
         from lotus_tpu.ops.quant import unpack_int4
 
@@ -275,7 +277,7 @@ def rescore_candidates(
     rows = jnp.take(inv, jnp.maximum(cand_i, 0), axis=0)
     return _rescore_impl(
         xq.astype(jnp.float32), cand_i, rows,
-        state["ivf_vectors"], state["ivf_row_scales"],
+        state["ivf_vectors"], state.get("ivf_row_scales"),
         state.get("ivf_refine"), state.get("ivf_refine_scales"),
         ensure_pos_list(state) if residual else None,
         state["centroids"] if residual else None,

@@ -206,3 +206,44 @@ def test_pallas_probe_l2_int8(tmp_path):
     _, i_ref = ivf_search(state, q, 5, nprobe=4, metric="l2")  # int8 window probe
     _, i_pl = ivf_search_pallas(state, q, 5, nprobe=4, metric="l2", interpret=True)
     assert (np.asarray(i_pl)[:, 0] == np.asarray(i_ref)[:, 0]).all()
+
+
+def test_fold_top1_mode_delivers_same_rescored_sets(tmp_path, monkeypatch):
+    """FOLD='top1' with BUCKET=4 (the staged epilogue experiment) must agree
+    with the production top2/8 fold after exact rescoring at full probe —
+    same candidate count per pair, finer buckets."""
+    import jax
+
+    import lotus_tpu.ops.pallas_ivf as pivf
+    from lotus_tpu.ops.ivf import build_ivf, load_ivf_state
+
+    rng = np.random.default_rng(17)
+    n, d, b, k = 4096, 32, 6, 5
+    centers = rng.standard_normal((8, d)).astype(np.float32)
+    emb = centers[rng.integers(0, 8, n)] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:b] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+
+    idx_dir = str(tmp_path / "fold")
+    meta = {"kind": "ivf", "metric": "ip",
+            **build_ivf(idx_dir, emb, nlist=8, metric="ip", block_align=512)}
+    state = load_ivf_state(idx_dir, meta, jnp.float32)
+    state.setdefault("meta", meta)
+
+    ref_d, ref_i = pivf.ivf_search_pallas(
+        state, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True, rescore=64
+    )
+
+    monkeypatch.setattr(pivf, "FOLD", "top1")
+    monkeypatch.setattr(pivf, "BUCKET", 4)
+    jax.clear_caches()  # table construction is inside the jitted wrapper
+    try:
+        got_d, got_i = pivf.ivf_search_pallas(
+            state, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True, rescore=64
+        )
+    finally:
+        jax.clear_caches()
+
+    for q in range(b):
+        assert set(np.asarray(got_i)[q]) == set(np.asarray(ref_i)[q]), q
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), rtol=1e-4, atol=1e-4)

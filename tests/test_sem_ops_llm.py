@@ -345,3 +345,23 @@ def test_sem_agg_multi_partition_terminates():
     assert len(calls) == 3
     assert "a1" in calls[0] and "b1" in calls[1]  # partitions kept separate
     assert "fold_1" in calls[2] and "fold_2" in calls[2]  # folded together
+
+
+def test_sem_agg_chunk_strategy_splits_oversized_rows():
+    """CHUNK (the default): a row bigger than the context budget is split
+    into chunk documents, every chunk's content reaches some prompt, and the
+    fold still converges to one answer."""
+    prompts = []
+
+    def responder(prompt, msgs, **kw):
+        prompts.append(str(prompt))
+        return f"fold_{len(prompts)}"
+
+    lm = make_fake_lm(responder=responder, max_ctx_len=700, max_tokens=32)
+    lotus_tpu.settings.configure(lm=lm)
+    big = "start-token " + "filler " * 400 + "end-token"
+    df = pd.DataFrame({"notes": [big, "small-token note"]})
+    out = df.sem_agg("Combine {notes}")
+    assert len(out) == 1
+    blob = "\n".join(prompts)
+    assert "start-token" in blob and "end-token" in blob and "small-token" in blob

@@ -365,3 +365,40 @@ def test_sem_agg_chunk_strategy_splits_oversized_rows():
     assert len(out) == 1
     blob = "\n".join(prompts)
     assert "start-token" in blob and "end-token" in blob and "small-token" in blob
+
+
+def test_fewshot_examples_reach_the_prompt():
+    """examples= demonstrations must render ahead of the live row, with the
+    demonstration answers; missing Answer column raises."""
+    prompts = []
+
+    def responder(prompt, msgs, **kw):
+        prompts.append(str(msgs))  # shots ride as separate chat turns
+        return "Rome"
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    shots = pd.DataFrame({"country": ["Germany", "Japan"], "Answer": ["Berlin", "Tokyo"]})
+    df = pd.DataFrame({"country": ["Italy"]})
+    out = df.sem_map("What is the capital of {country}?", examples=shots)
+    blob = prompts[0]
+    assert "Germany" in blob and "Berlin" in blob and "Japan" in blob and "Tokyo" in blob
+    assert blob.index("Germany") < blob.index("Italy")  # shots come first
+    assert out["_map"].tolist() == ["Rome"]
+
+    with pytest.raises(ValueError, match="Answer"):
+        df.sem_map("Capital of {country}?", examples=pd.DataFrame({"country": ["x"]}))
+
+
+def test_fewshot_filter_coerces_bool_answers():
+    prompts = []
+
+    def responder(prompt, msgs, **kw):
+        prompts.append(str(msgs))
+        return "Answer: True"
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    shots = pd.DataFrame({"text": ["a dog"], "Answer": [True]})
+    df = pd.DataFrame({"text": ["a cat"]})
+    out = df.sem_filter("{text} is an animal", examples=shots)
+    assert "a dog" in prompts[0] and "True" in prompts[0]
+    assert out["text"].tolist() == ["a cat"]

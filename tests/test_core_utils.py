@@ -186,3 +186,34 @@ def test_count_tokens_skips_image_payloads():
         ],
     }]
     assert lm.count_tokens(msgs) < 50
+
+
+def test_sqlite_cache_concurrent_threads(tmp_path):
+    """Per-thread connections: concurrent inserts/reads from many threads
+    neither crash nor lose committed entries."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lotus_tpu.cache import SQLiteCache
+
+    cache = SQLiteCache(max_size=1000, cache_dir=str(tmp_path / "c.db"))
+
+    def work(i):
+        for j in range(20):
+            cache.insert(f"k{i}_{j}", {"v": i * 100 + j})
+        return [cache.get(f"k{i}_{j}") for j in range(20)]
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        results = list(pool.map(work, range(6)))
+    for i, res in enumerate(results):
+        assert res == [{"v": i * 100 + j} for j in range(20)]
+
+
+def test_sqlite_cache_lru_eviction(tmp_path):
+    from lotus_tpu.cache import SQLiteCache
+
+    cache = SQLiteCache(max_size=3, cache_dir=str(tmp_path / "lru.db"))
+    for i in range(5):
+        cache.insert(f"k{i}", i)
+    live = [cache.get(f"k{i}") for i in range(5)]
+    assert live.count(None) == 2  # two oldest evicted
+    assert live[3:] == [3, 4]  # newest survive

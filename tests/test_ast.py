@@ -266,3 +266,17 @@ def test_prompt_evolution_pareto_frontier():
     frontier = PromptEvolutionOptimizer._pareto_frontier(archive)
     assert archive[3] not in frontier
     assert {id(m) for m in frontier} == {id(archive[0]), id(archive[1]), id(archive[2]), id(archive[4])}
+
+
+def test_predicate_pushdown_blocked_by_non_filter_node():
+    """Pandas filters hoist only past the contiguous sem_filter run directly
+    above them — never past a map (whose output they might reference)."""
+    lf = (
+        LazyFrame()
+        .sem_map("Summarize {text}")
+        .sem_filter("{text} relevant")
+        .filter(lambda d: d["_map"].str.len() > 0)  # depends on the map
+    )
+    kinds = [type(n).__name__ for n in lf.optimize()._nodes]
+    # Hoisted past the sem_filter but stopped at the map.
+    assert kinds.index("SemMapNode") < kinds.index("PandasFilterNode") < kinds.index("SemFilterNode")

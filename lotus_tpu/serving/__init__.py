@@ -44,6 +44,7 @@ from lotus_tpu import native
 MAGIC = b"LTSV"
 OP_SEARCH = 1
 OP_PING = 2
+OP_STATS = 3  # -> u32 len | utf-8 JSON {"searches": N, "queries": N}
 
 SearchFn = Callable[[np.ndarray, int], tuple[np.ndarray, np.ndarray]]
 
@@ -89,6 +90,8 @@ class ShardServer:
 
     def __init__(self, search: SearchFn, host: str = "127.0.0.1", port: int = 0) -> None:
         self._search = search
+        self.stats = {"searches": 0, "queries": 0}
+        self._stats_lock = threading.Lock()
         self._sock = socket.create_server((host, port))
         self._sock.settimeout(0.25)  # so the accept loop can observe stop()
         self._stopping = threading.Event()
@@ -143,11 +146,20 @@ class ShardServer:
                     op = head[4]
                     if op == OP_PING:
                         conn.sendall(b"\x00")
+                    elif op == OP_STATS:
+                        import json as _json
+
+                        with self._stats_lock:
+                            payload = _json.dumps(self.stats).encode()
+                        conn.sendall(b"\x00" + struct.pack("<I", len(payload)) + payload)
                     elif op == OP_SEARCH:
                         b, d, k = struct.unpack("<III", _recv_exact(conn, 12))
                         raw = _recv_exact(conn, 4 * b * d)
                         xq = np.frombuffer(raw, dtype="<f4").reshape(b, d)
                         dists, ids = self._search(xq, int(k))
+                        with self._stats_lock:
+                            self.stats["searches"] += 1
+                            self.stats["queries"] += int(b)
                         dists = np.ascontiguousarray(dists, dtype="<f4")
                         ids = np.ascontiguousarray(ids, dtype="<i8")
                         conn.sendall(
@@ -198,6 +210,17 @@ class ShardClient:
             conn.sendall(MAGIC + bytes([OP_PING]))
             self._read_status(conn)
         return True
+
+    def stats(self) -> dict:
+        """The shard's cumulative serving counters (JSON over the wire)."""
+        import json
+
+        with self._lock:
+            conn = self._connect()
+            conn.sendall(MAGIC + bytes([OP_STATS]))
+            self._read_status(conn)
+            (n,) = struct.unpack("<I", _recv_exact(conn, 4))
+            return json.loads(_recv_exact(conn, n).decode())
 
     def search(self, xq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
         xq = np.ascontiguousarray(np.asarray(xq, dtype="<f4"))

@@ -130,3 +130,13 @@ def test_client_reuses_connection(sharded):
     np.testing.assert_array_equal(first[1], second[1])
     assert client._conn is not None  # one persistent socket, two requests
     client.close()
+
+
+def test_stats_op(sharded):
+    client = ShardClient(sharded[0].address)
+    before = client.stats()
+    client.search(QUERIES, 3)
+    after = client.stats()
+    assert after["searches"] == before["searches"] + 1
+    assert after["queries"] == before["queries"] + len(QUERIES)
+    client.close()

@@ -47,5 +47,13 @@ with tempfile.TemporaryDirectory() as d:
     assert ids.tolist() == np.asarray(whole(queries, 5).indices).tolist()
     print("front end == single store: OK")
 
+    # Each shard exposes serving counters over the same wire (op=STATS).
+    from lotus_tpu.serving import ShardClient
+
+    for s in servers:
+        c = ShardClient(s.address)
+        print("shard", s.address[1], "stats:", c.stats())
+        c.close()
+
     for s in servers:
         s.stop()

@@ -125,3 +125,28 @@ def test_truncation_warning_logged(caplog):
     with caplog.at_level("WARNING"):
         lm([msgs("hi")])
     assert any("truncated" in r.message for r in caplog.records)
+
+
+def test_callable_transport_order_and_exception_passthrough():
+    """The batch adapter preserves order under parallelism, wraps bare
+    strings in Completion, and surfaces worker exceptions to the caller."""
+    import time
+
+    from lotus_tpu.models.transport import CallableTransport, Completion
+
+    def fn(messages, **kw):
+        i = int(messages[-1]["content"])
+        time.sleep(0.01 * (5 - i))  # later items finish first
+        return str(i * 10)
+
+    t = CallableTransport(fn)
+    batch = [[{"role": "user", "content": str(i)}] for i in range(5)]
+    out = t.complete_batch("m", batch, max_workers=5)
+    assert [c.text for c in out] == ["0", "10", "20", "30", "40"]
+    assert all(isinstance(c, Completion) for c in out)
+
+    def boom(messages, **kw):
+        raise RuntimeError("provider down")
+
+    with pytest.raises(RuntimeError, match="provider down"):
+        CallableTransport(boom).complete_batch("m", batch)

@@ -52,6 +52,16 @@ BUCKET = 8  # -> nbk = 64, 128 candidates per (query, list-chunk)
 # element at equal candidate count, but pair collisions return.  Measured
 # on the 10M bench (tools_dev/exp_probe_fold.py) before choosing.
 FOLD = "top2"
+# Packed epilogue: steal the low LOCAL_BITS mantissa bits of each f32 score
+# for the candidate's window-local row id — the fold then maintains top-2
+# with plain max/min on ONE value (no index arrays: ~1/3 fewer epilogue ops,
+# half the output state), and the reassembly recovers storage rows as
+# list_start[probed list] + low bits.  Keeps ~10 effective score bits
+# (> bf16's 8); exact rescoring absorbs the tie noise downstream.  Default
+# off pending the 10M shootout (tools_dev/exp_probe_fold.py --packed).
+PACKED = False
+LOCAL_BITS = 13  # covers probe windows up to 8192 rows
+_LOCAL_MASK = (1 << LOCAL_BITS) - 1
 
 
 def _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref):
@@ -98,6 +108,33 @@ def _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref):
     out_i_ref[0] = jnp.concatenate([best_i, sec_i], axis=1)
 
 
+def _bucket_pack_accum(get_slice, local_base, first, out_ref):
+    """Packed top-2-per-bucket fold (``PACKED``): the window-local row id
+    rides the low mantissa bits of the score, so the running (best, second)
+    state is two plain f32 tiles updated with max/min — no index arrays.
+
+    Packing preserves float ORDER above the truncation granularity: clearing
+    the low bits rounds every score toward -inf by < 2^-10 relative, and the
+    id bits break ties deterministically.  Masked lanes keep MASK_SCORE
+    exactly (their ids are never recovered — the score threshold kills them
+    in the reassembly)."""
+    nbk = BL // BUCKET
+    lane = jax.lax.broadcasted_iota(jnp.int32, (QU, nbk), 1)
+    prev = out_ref[0]
+    best = jnp.where(first, MASK_SCORE, prev[:, :nbk])
+    sec = jnp.where(first, MASK_SCORE, prev[:, nbk:])
+    for j in range(BUCKET):
+        sl = get_slice(j)
+        idx = local_base + j * nbk + lane
+        bits = jax.lax.bitcast_convert_type(sl, jnp.int32)
+        pk = jax.lax.bitcast_convert_type((bits & ~_LOCAL_MASK) | idx, jnp.float32)
+        pk = jnp.where(sl <= MASK_SCORE / 2, MASK_SCORE, pk)
+        new_best = jnp.maximum(best, pk)
+        sec = jnp.maximum(sec, jnp.minimum(best, pk))
+        best = new_best
+    out_ref[0] = jnp.concatenate([best, sec], axis=1)
+
+
 def _bucket_top1_accum(get_slice, base, first, out_s_ref, out_i_ref):
     """Top-1-per-bucket fold (``FOLD == "top1"``): same output width as the
     top-2 fold when BUCKET is halved, at ~1/3 fewer epilogue ops per score
@@ -122,7 +159,7 @@ def _slice_mask(j, vcount):
     return cols < vcount
 
 
-def _probe_kernel(qtab_ref, btab_ref, vtab_ref, ftab_ref, xq_ref, xb_ref, *rest, int8_dot, dequant, l2):
+def _probe_kernel(qtab_ref, btab_ref, vtab_ref, ftab_ref, wtab_ref, xq_ref, xb_ref, *rest, int8_dot, dequant, l2, packed):
     """One unit: (QU, d) x (BL, d)^T -> per-bucket (top-2, arg).
 
     Variants (static flags; extra inputs in order):
@@ -138,8 +175,11 @@ def _probe_kernel(qtab_ref, btab_ref, vtab_ref, ftab_ref, xq_ref, xb_ref, *rest,
     """
     nbk = BL // BUCKET
     refs = list(rest)
-    out_i_ref = refs.pop()
-    out_s_ref = refs.pop()
+    if packed:
+        out_ref = refs.pop()
+    else:
+        out_i_ref = refs.pop()
+        out_s_ref = refs.pop()
     sc_ref = refs.pop(0) if dequant else None
     nm_ref = refs.pop(0) if l2 else None
 
@@ -165,7 +205,9 @@ def _probe_kernel(qtab_ref, btab_ref, vtab_ref, ftab_ref, xq_ref, xb_ref, *rest,
             sl = 2.0 * sl - nm_ref[0, j][None, :]
         return jnp.where(_slice_mask(j, vcount), sl, MASK_SCORE)
 
-    if FOLD == "top1":
+    if packed:
+        _bucket_pack_accum(get_slice, wtab_ref[u] * BL, first, out_ref)
+    elif FOLD == "top1":
         _bucket_top1_accum(get_slice, base, first, out_s_ref, out_i_ref)
     else:
         _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref)
@@ -279,20 +321,27 @@ def _grouped_probe_pallas(
     btab = jnp.where(valid_u, list_start[lid] // BL + block_idx, xb_sorted.shape[0] // BL - 1)
     vtab = jnp.where(valid_u, jnp.clip(list_size[lid] - block_idx * BL, 0, BL), 0)
     ftab = jnp.where(valid_u, (block_idx == 0).astype(jnp.int32), 1)  # chunk-start flag
+    wtab = jnp.where(valid_u, block_idx, 0)  # block-in-list (packed-id base)
 
     # Pad query tiles with one dummy tile for parked units.
     xq_units = jnp.concatenate([xq_units, jnp.zeros((QU, d), xq_store.dtype)])
     xb_blocks = xb_sorted  # (rows, d), rows % BL == 0 (+ window padding)
 
-    ncand = (1 if FOLD == "top1" else 2) * nbk  # survivors per bucket x buckets
+    # Survivors per bucket x buckets (packed mode always folds top-2).
+    ncand = 2 * nbk if PACKED else (1 if FOLD == "top1" else 2) * nbk
+    if PACKED and max_blocks * BL > (1 << LOCAL_BITS):
+        raise ValueError(
+            f"probe window {max_blocks * BL} exceeds the {1 << LOCAL_BITS}-row "
+            "packed-id range; raise LOCAL_BITS or disable PACKED"
+        )
     in_specs = [
-        pl.BlockSpec((QU, d), lambda u, qt, bt, vt, ft: (qt[u], 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BL, d), lambda u, qt, bt, vt, ft: (bt[u], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((QU, d), lambda u, qt, bt, vt, ft, wt: (qt[u], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BL, d), lambda u, qt, bt, vt, ft, wt: (bt[u], 0), memory_space=pltpu.VMEM),
     ]
     operands = [xq_units, xb_blocks]  # xq_store dtype already matches the kernel variant
     # (nblocks, BUCKET, nbk): full trailing dims per block (tile-legal).
     per_row_spec = pl.BlockSpec(
-        (1, BUCKET, BL // BUCKET), lambda u, qt, bt, vt, ft: (bt[u], 0, 0), memory_space=pltpu.VMEM
+        (1, BUCKET, BL // BUCKET), lambda u, qt, bt, vt, ft, wt: (bt[u], 0, 0), memory_space=pltpu.VMEM
     )
     if is_int8:
         in_specs.append(per_row_spec)
@@ -300,51 +349,72 @@ def _grouped_probe_pallas(
     if is_l2:
         in_specs.append(per_row_spec)
         operands.append(norms_sq.reshape(-1, BUCKET, BL // BUCKET))
-    kernel = functools.partial(_probe_kernel, int8_dot=int8_dot, dequant=is_int8, l2=is_l2)
+    kernel = functools.partial(
+        _probe_kernel, int8_dot=int8_dot, dequant=is_int8, l2=is_l2, packed=PACKED
+    )
     # Output is indexed by CHUNK, not unit: consecutive units of one chunk
     # revisit the same output block (kept in VMEM, flushed once per chunk).
     # Row n_chunks_max is the parking row for padded units.
+    out_spec = pl.BlockSpec(
+        (1, QU, ncand), lambda u, qt, bt, vt, ft, wt: (qt[u], 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((n_chunks_max + 1, QU, ncand), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(u_max,),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, QU, ncand), lambda u, qt, bt, vt, ft: (qt[u], 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, QU, ncand), lambda u, qt, bt, vt, ft: (qt[u], 0, 0), memory_space=pltpu.VMEM),
-        ),
+        out_specs=out_spec if PACKED else (out_spec, out_spec),
     )
-    cand_s, cand_i = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_chunks_max + 1, QU, ncand), jnp.float32),
-            jax.ShapeDtypeStruct((n_chunks_max + 1, QU, ncand), jnp.int32),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * u_max * QU * BL * d,
-            bytes_accessed=u_max * (QU * d * 4 + BL * d * 2) + n_chunks_max * 2 * ncand * QU * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(qtab, btab, vtab, ftab, *operands)
+    cost = pl.CostEstimate(
+        flops=2 * u_max * QU * BL * d,
+        bytes_accessed=u_max * (QU * d * 4 + BL * d * 2)
+        + n_chunks_max * (1 if PACKED else 2) * ncand * QU * 4,
+        transcendentals=0,
+    )
+    if PACKED:
+        cand_pk = pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            cost_estimate=cost, interpret=interpret,
+        )(qtab, btab, vtab, ftab, wtab, *operands)
+    else:
+        cand_s, cand_i = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=(out_shape, jax.ShapeDtypeStruct((n_chunks_max + 1, QU, ncand), jnp.int32)),
+            cost_estimate=cost, interpret=interpret,
+        )(qtab, btab, vtab, ftab, wtab, *operands)
 
     # ---- reassemble per pair ----------------------------------------------
     # Pair p's candidates live at flattened row padpos[p] of the kernel
-    # output (chunk * QU + lane) — one (P, ncand)-row gather; indices are
-    # already global.  A pair whose list produced no units (probed but
-    # empty) reads an unwritten chunk row: mask by blocks-of-list > 0.
-    flat_s = cand_s.reshape((n_chunks_max + 1) * QU, ncand)
-    flat_i = cand_i.reshape((n_chunks_max + 1) * QU, ncand)
-    pool_s = flat_s[padpos]                               # (P, ncand)
-    pool_i = flat_i[padpos]
-    pool_s = jnp.where((blocks[sl] > 0)[:, None], pool_s, MASK_SCORE)
-
-    # Route back to (query, probe slot) via the inverse pair permutation
-    # (a gather, cheaper than scattering into a (B, nprobe, ncand) pool).
+    # output (chunk * QU + lane) — one (P, ncand)-row gather.  A pair whose
+    # list produced no units (probed but empty) reads an unwritten chunk
+    # row: mask by blocks-of-list > 0.  Routing back to (query, probe slot)
+    # uses the inverse pair permutation (a gather, cheaper than scattering
+    # into a (B, nprobe, ncand) pool).
     kc = ncand
     inv_order = jnp.zeros_like(order).at[order].set(pair_pos)
-    cand_s = pool_s[inv_order].reshape(b, nprobe, kc)
-    cand_i = pool_i[inv_order].reshape(b, nprobe, kc)
+    if PACKED:
+        # One packed pool: scores carry their window-local row id in the low
+        # mantissa bits; storage rows recover as list_start[probed list] +
+        # local (clamped — masked lanes decode garbage ids but their scores
+        # stay MASK_SCORE and die at the top-k).
+        flat = cand_pk.reshape((n_chunks_max + 1) * QU, ncand)
+        pool = flat[padpos]
+        pool = jnp.where((blocks[sl] > 0)[:, None], pool, MASK_SCORE)
+        packed3 = pool[inv_order].reshape(b, nprobe, kc)
+        bits = jax.lax.bitcast_convert_type(packed3, jnp.int32)
+        starts = jnp.take(list_start, probe_lists, axis=0)  # (b, nprobe)
+        cand_i = jnp.minimum(
+            starts[:, :, None] + (bits & _LOCAL_MASK), xb_sorted.shape[0] - 1
+        )
+        cand_s = jax.lax.bitcast_convert_type(bits & ~_LOCAL_MASK, jnp.float32)
+    else:
+        flat_s = cand_s.reshape((n_chunks_max + 1) * QU, ncand)
+        flat_i = cand_i.reshape((n_chunks_max + 1) * QU, ncand)
+        pool_s = flat_s[padpos]                               # (P, ncand)
+        pool_i = flat_i[padpos]
+        pool_s = jnp.where((blocks[sl] > 0)[:, None], pool_s, MASK_SCORE)
+        cand_s = pool_s[inv_order].reshape(b, nprobe, kc)
+        cand_i = pool_i[inv_order].reshape(b, nprobe, kc)
     if probe_bias is not None:
         # Residual encoding: the stored vectors are (x - centroid), so every
         # candidate of probe slot s owes the exact coarse term q.c held in

@@ -247,3 +247,50 @@ def test_fold_top1_mode_delivers_same_rescored_sets(tmp_path, monkeypatch):
     for q in range(b):
         assert set(np.asarray(got_i)[q]) == set(np.asarray(ref_i)[q]), q
     np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), rtol=1e-4, atol=1e-4)
+
+
+def test_packed_epilogue_parity(tmp_path, monkeypatch):
+    """PACKED mode (ids in the score mantissa) must deliver the same
+    candidate sets as the production fold once exact rescoring removes the
+    10-bit score truncation, on an int8 residual store."""
+    import jax
+
+    import lotus_tpu.ops.pallas_ivf as pivf
+    from lotus_tpu.ops.ivf import build_ivf, load_ivf_state
+
+    rng = np.random.default_rng(23)
+    n, d, b, k = 4096, 32, 6, 5
+    centers = rng.standard_normal((8, d)).astype(np.float32)
+    emb = centers[rng.integers(0, 8, n)] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:b] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+
+    idx_dir = str(tmp_path / "packed")
+    meta = {"kind": "ivf", "metric": "ip",
+            **build_ivf(idx_dir, emb, nlist=8, metric="ip", block_align=512)}
+    meta["encoding"] = "residual_int8"
+    state = load_ivf_state(idx_dir, meta, jnp.int8)
+    state.setdefault("meta", meta)
+
+    ref_d, ref_i = pivf.ivf_search_pallas(
+        state, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True, rescore=64
+    )
+
+    monkeypatch.setattr(pivf, "PACKED", True)
+    jax.clear_caches()
+    try:
+        got_d, got_i = pivf.ivf_search_pallas(
+            state, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True, rescore=64
+        )
+        # And the no-rescore path must still deliver sane (truncated-score)
+        # candidates: top-1 agreement with the production fold.
+        nr_d, nr_i = pivf.ivf_search_pallas(
+            state, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True
+        )
+    finally:
+        jax.clear_caches()
+
+    for q in range(b):
+        assert set(np.asarray(got_i)[q]) == set(np.asarray(ref_i)[q]), q
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), rtol=1e-4, atol=1e-4)
+    assert (np.asarray(nr_i)[:, 0] == np.asarray(ref_i)[:, 0]).all()

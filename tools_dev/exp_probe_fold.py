@@ -28,8 +28,15 @@ say(f"build: {built['build_vecs_per_s']:,.0f} vecs/s")
 xq_dev = jnp.asarray(xq, jnp.float32)
 B, K = xq.shape[0], 10
 
-for fold, bucket in (("top2", 8), ("top1", 4), ("top1", 8)):
-    pivf.FOLD, pivf.BUCKET = fold, bucket
+VARIANTS = (
+    ("top2", 8, False),   # production baseline
+    ("top1", 4, False),   # fewer epilogue ops, finer buckets
+    ("top1", 8, False),
+    ("top2", 8, True),    # packed epilogue (ids in the score mantissa)
+)
+
+for fold, bucket, packed in VARIANTS:
+    pivf.FOLD, pivf.BUCKET, pivf.PACKED = fold, bucket, packed
     jax.clear_caches()
 
     def search(q, nprobe=256):
@@ -51,7 +58,7 @@ for fold, bucket in (("top2", 8), ("top1", 4), ("top1", 8)):
                 q = xq_dev + 0.0 * dd[:, :1]
             float(np.asarray(dd[0, 0]))
             best = min(best, (time.perf_counter() - t0) / 3)
-        say(f"{fold}/BUCKET={bucket}: {B / best:,.0f} QPS, recall@10={rec:.4f}")
+        say(f"{fold}/BUCKET={bucket}/packed={packed}: {B / best:,.0f} QPS, recall@10={rec:.4f}")
     except Exception as e:
-        say(f"{fold}/BUCKET={bucket}: FAILED {type(e).__name__}: {e}")
-pivf.FOLD, pivf.BUCKET = "top2", 8
+        say(f"{fold}/BUCKET={bucket}/packed={packed}: FAILED {type(e).__name__}: {e}")
+pivf.FOLD, pivf.BUCKET, pivf.PACKED = "top2", 8, False

@@ -19,7 +19,8 @@ def test_meta_missing_and_future_version(tmp_path):
         index_io.read_meta(str(tmp_path / "nowhere"))
     d = str(tmp_path / "future")
     index_io.write_meta(d, {"kind": "flat"})
-    import json, os
+    import json
+    import os
 
     path = os.path.join(d, index_io.META_FILE)
     meta = json.load(open(path))

@@ -271,6 +271,15 @@ class SearchFrontEnd:
         ids = np.stack([p[1] for p in parts], axis=1)
         return native.topk_merge_batch(dists, ids, k)
 
+    def stats(self) -> dict:
+        """Aggregate serving counters across shards (plus per-shard detail)."""
+        per_shard = list(self._pool.map(lambda c: c.stats(), self.clients))
+        totals: dict[str, Any] = {}
+        for s in per_shard:
+            for key, val in s.items():
+                totals[key] = totals.get(key, 0) + val
+        return {**totals, "shards": per_shard}
+
     def close(self) -> None:
         for c in self.clients:
             c.close()

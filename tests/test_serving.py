@@ -140,3 +140,13 @@ def test_stats_op(sharded):
     assert after["searches"] == before["searches"] + 1
     assert after["queries"] == before["queries"] + len(QUERIES)
     client.close()
+
+
+def test_frontend_stats_aggregation(sharded):
+    with SearchFrontEnd([s.address for s in sharded]) as fe:
+        before = fe.stats()
+        fe.search(QUERIES, 3)
+        after = fe.stats()
+    assert after["searches"] == before["searches"] + len(sharded)  # one per shard
+    assert after["queries"] == before["queries"] + len(QUERIES) * len(sharded)
+    assert len(after["shards"]) == len(sharded)

@@ -150,3 +150,15 @@ def test_callable_transport_order_and_exception_passthrough():
 
     with pytest.raises(RuntimeError, match="provider down"):
         CallableTransport(boom).complete_batch("m", batch)
+
+
+def test_usage_reporting_and_reset(capsys):
+    lm = make_fake_lm(responder=lambda p, m, **kw: "four tokens of text")
+    lm([[{"role": "user", "content": "count me"}]], show_progress_bar=False)
+    assert lm.stats.virtual_usage.total_tokens > 0
+    lm.print_total_usage()
+    printed = capsys.readouterr().out
+    assert "tokens" in printed.lower() or "usage" in printed.lower()
+    lm.reset_stats()
+    assert lm.stats.virtual_usage.total_tokens == 0
+    assert lm.stats.physical_usage.total_tokens == 0

@@ -384,3 +384,17 @@ def test_pallas_probe_knob_plumbing(tmp_path, monkeypatch):
     vs(queries, 5)  # B*nprobe >= nlist -> the large-batch Pallas branch
     assert seen.get("query_chunk") == 16
     assert seen.get("int8_queries") is False  # auto off in interpret mode
+
+
+def test_store_stats_accumulate(tmp_path, data):
+    """Observability contract: searches/queries/wall-time counters grow
+    monotonically and include the device->host fetch."""
+    emb, queries = data
+    vs = TpuVS(index_type="flat", metric="ip")
+    vs.index([str(i) for i in range(len(emb))], emb, str(tmp_path / "stats"))
+    vs(queries[:4], 3)
+    after_one = dict(vs.stats)
+    vs(queries, 3)
+    assert vs.stats["searches"] == after_one["searches"] + 1
+    assert vs.stats["queries"] == after_one["queries"] + len(queries)
+    assert vs.stats["total_wall_s"] > after_one["total_wall_s"] > 0.0

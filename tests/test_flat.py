@@ -195,3 +195,29 @@ def test_int4_refinement_roundtrip():
     assert err_refined < err8 / 4, (err8, err_refined)
     # Packing is 2 int4 per byte.
     assert packed.shape == (64, 8)
+
+
+def test_flat_int8_with_validity_mask():
+    """Masked subset search on a quantized store: only allowed rows return,
+    with dequantized scores ranking correctly."""
+    import jax.numpy as jnp
+
+    from lotus_tpu.ops.flat import flat_search
+    from lotus_tpu.ops.quant import quantize_rows
+
+    rng = np.random.default_rng(13)
+    n, d, b, k = 512, 16, 4, 5
+    xb = rng.standard_normal((n, d)).astype(np.float32)
+    xb /= np.linalg.norm(xb, axis=1, keepdims=True)
+    xq = xb[:b] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+    valid = rng.random(n) < 0.5
+    valid[:b] = True  # self-matches allowed
+
+    q, scales = quantize_rows(jnp.asarray(xb))
+    dists, idx = flat_search(
+        q, jnp.asarray(xq), k, metric="ip", n_rows=n,
+        valid=jnp.asarray(valid), xb_scales=scales,
+    )
+    idx = np.asarray(idx)
+    assert valid[idx[idx >= 0]].all()
+    assert (idx[:, 0] == np.arange(b)).all()  # self-match survives quantization

@@ -398,3 +398,19 @@ def test_store_stats_accumulate(tmp_path, data):
     assert vs.stats["searches"] == after_one["searches"] + 1
     assert vs.stats["queries"] == after_one["queries"] + len(queries)
     assert vs.stats["total_wall_s"] > after_one["total_wall_s"] > 0.0
+
+
+def test_external_stores_gate_on_missing_clients():
+    """Optional stores raise a clear ImportError when their client package
+    is absent (this environment ships neither), preserving the reference's
+    optional-extra contract."""
+    import importlib.util
+
+    from lotus_tpu.vector_store import QdrantVS, WeaviateVS
+
+    if importlib.util.find_spec("qdrant_client") is None:
+        with pytest.raises(ImportError, match="qdrant-client"):
+            QdrantVS(client=object())
+    if importlib.util.find_spec("weaviate") is None:
+        with pytest.raises(ImportError, match="weaviate-client"):
+            WeaviateVS(client=object())

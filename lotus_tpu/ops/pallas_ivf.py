@@ -58,8 +58,11 @@ FOLD = "top2"
 # half the output state), and the reassembly recovers storage rows as
 # list_start[probed list] + low bits.  Keeps ~10 effective score bits
 # (> bf16's 8); exact rescoring absorbs the tie noise downstream.  Default
-# off pending the 10M shootout (tools_dev/exp_probe_fold.py --packed).
-PACKED = False
+# ON after the 10M shootout (tools_dev/exp_probe_fold.py, 2026-08-18):
+# 13,757 QPS vs 13,117 unpacked at identical 0.9957 recall@10.  Probes
+# whose window exceeds the packed-id range fall back to the unpacked fold
+# automatically (per-call, in _grouped_probe_pallas).
+PACKED = True
 LOCAL_BITS = 13  # covers probe windows up to 8192 rows
 _LOCAL_MASK = (1 << LOCAL_BITS) - 1
 
@@ -159,7 +162,7 @@ def _slice_mask(j, vcount):
     return cols < vcount
 
 
-def _probe_kernel(qtab_ref, btab_ref, vtab_ref, ftab_ref, wtab_ref, xq_ref, xb_ref, *rest, int8_dot, dequant, l2, packed):
+def _probe_kernel(qtab_ref, btab_ref, vfw_ref, xq_ref, xb_ref, *rest, int8_dot, dequant, l2, packed):
     """One unit: (QU, d) x (BL, d)^T -> per-bucket (top-2, arg).
 
     Variants (static flags; extra inputs in order):
@@ -193,9 +196,14 @@ def _probe_kernel(qtab_ref, btab_ref, vtab_ref, ftab_ref, wtab_ref, xq_ref, xb_r
         prec = jax.lax.Precision.HIGHEST if xq_ref.dtype == jnp.float32 else None
         dot = jnp.dot(xq_ref[:], xb.T, preferred_element_type=jnp.float32, precision=prec)
     u = pl.program_id(0)
-    vcount = vtab_ref[u]
+    # vfw packs (valid-row count, chunk-start flag, block-in-list) into one
+    # int32 per unit: SMEM holds ~1 MB total and each prefetched scalar
+    # table costs u_max * 4 bytes (221 KB at the 10M operating point), so
+    # five separate tables exceed it — three fit with margin.
+    vfw = vfw_ref[u]
+    vcount = vfw & 0x3FF
     base = btab_ref[u] * BL
-    first = ftab_ref[u] != 0
+    first = ((vfw >> 10) & 1) != 0
 
     def get_slice(j):
         sl = dot[:, j * nbk : (j + 1) * nbk].astype(jnp.float32)
@@ -206,7 +214,7 @@ def _probe_kernel(qtab_ref, btab_ref, vtab_ref, ftab_ref, wtab_ref, xq_ref, xb_r
         return jnp.where(_slice_mask(j, vcount), sl, MASK_SCORE)
 
     if packed:
-        _bucket_pack_accum(get_slice, wtab_ref[u] * BL, first, out_ref)
+        _bucket_pack_accum(get_slice, (vfw >> 11) * BL, first, out_ref)
     elif FOLD == "top1":
         _bucket_top1_accum(get_slice, base, first, out_s_ref, out_i_ref)
     else:
@@ -215,7 +223,7 @@ def _probe_kernel(qtab_ref, btab_ref, vtab_ref, ftab_ref, wtab_ref, xq_ref, xb_r
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "max_blocks", "metric", "interpret", "int8_queries", "return_rows"),
+    static_argnames=("k", "nprobe", "max_blocks", "metric", "interpret", "int8_queries", "return_rows", "packed_ok"),
 )
 def _grouped_probe_pallas(
     centroids: jnp.ndarray,
@@ -236,6 +244,7 @@ def _grouped_probe_pallas(
     probe_lists: jnp.ndarray | None = None,
     probe_bias: jnp.ndarray | None = None,
     return_rows: bool = False,
+    packed_ok: bool = False,
 ):
     b, d = xq.shape
     nlist = list_start.shape[0]
@@ -322,26 +331,29 @@ def _grouped_probe_pallas(
     vtab = jnp.where(valid_u, jnp.clip(list_size[lid] - block_idx * BL, 0, BL), 0)
     ftab = jnp.where(valid_u, (block_idx == 0).astype(jnp.int32), 1)  # chunk-start flag
     wtab = jnp.where(valid_u, block_idx, 0)  # block-in-list (packed-id base)
+    # One packed scalar table (see _probe_kernel): valid count (10 bits,
+    # 0..BL=512), chunk-start flag (bit 10), block-in-list (bits 11+).
+    vfw = vtab | (ftab << 10) | (wtab << 11)
 
     # Pad query tiles with one dummy tile for parked units.
     xq_units = jnp.concatenate([xq_units, jnp.zeros((QU, d), xq_store.dtype)])
     xb_blocks = xb_sorted  # (rows, d), rows % BL == 0 (+ window padding)
 
     # Survivors per bucket x buckets (packed mode always folds top-2).
-    ncand = 2 * nbk if PACKED else (1 if FOLD == "top1" else 2) * nbk
-    if PACKED and max_blocks * BL > (1 << LOCAL_BITS):
-        raise ValueError(
-            f"probe window {max_blocks * BL} exceeds the {1 << LOCAL_BITS}-row "
-            "packed-id range; raise LOCAL_BITS or disable PACKED"
-        )
+    # Packing truncates 13 mantissa bits of every score, so it is only used
+    # when the caller exactly re-ranks the candidates afterwards
+    # (packed_ok); windows beyond the LOCAL_BITS id range (8192 rows) fall
+    # back to the unpacked fold instead of failing.
+    packed = PACKED and packed_ok and max_blocks * BL <= (1 << LOCAL_BITS)
+    ncand = 2 * nbk if packed else (1 if FOLD == "top1" else 2) * nbk
     in_specs = [
-        pl.BlockSpec((QU, d), lambda u, qt, bt, vt, ft, wt: (qt[u], 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BL, d), lambda u, qt, bt, vt, ft, wt: (bt[u], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((QU, d), lambda u, qt, bt, vfw: (qt[u], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((BL, d), lambda u, qt, bt, vfw: (bt[u], 0), memory_space=pltpu.VMEM),
     ]
     operands = [xq_units, xb_blocks]  # xq_store dtype already matches the kernel variant
     # (nblocks, BUCKET, nbk): full trailing dims per block (tile-legal).
     per_row_spec = pl.BlockSpec(
-        (1, BUCKET, BL // BUCKET), lambda u, qt, bt, vt, ft, wt: (bt[u], 0, 0), memory_space=pltpu.VMEM
+        (1, BUCKET, BL // BUCKET), lambda u, qt, bt, vfw: (bt[u], 0, 0), memory_space=pltpu.VMEM
     )
     if is_int8:
         in_specs.append(per_row_spec)
@@ -350,38 +362,38 @@ def _grouped_probe_pallas(
         in_specs.append(per_row_spec)
         operands.append(norms_sq.reshape(-1, BUCKET, BL // BUCKET))
     kernel = functools.partial(
-        _probe_kernel, int8_dot=int8_dot, dequant=is_int8, l2=is_l2, packed=PACKED
+        _probe_kernel, int8_dot=int8_dot, dequant=is_int8, l2=is_l2, packed=packed
     )
     # Output is indexed by CHUNK, not unit: consecutive units of one chunk
     # revisit the same output block (kept in VMEM, flushed once per chunk).
     # Row n_chunks_max is the parking row for padded units.
     out_spec = pl.BlockSpec(
-        (1, QU, ncand), lambda u, qt, bt, vt, ft, wt: (qt[u], 0, 0), memory_space=pltpu.VMEM
+        (1, QU, ncand), lambda u, qt, bt, vfw: (qt[u], 0, 0), memory_space=pltpu.VMEM
     )
     out_shape = jax.ShapeDtypeStruct((n_chunks_max + 1, QU, ncand), jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=3,
         grid=(u_max,),
         in_specs=in_specs,
-        out_specs=out_spec if PACKED else (out_spec, out_spec),
+        out_specs=out_spec if packed else (out_spec, out_spec),
     )
     cost = pl.CostEstimate(
         flops=2 * u_max * QU * BL * d,
         bytes_accessed=u_max * (QU * d * 4 + BL * d * 2)
-        + n_chunks_max * (1 if PACKED else 2) * ncand * QU * 4,
+        + n_chunks_max * (1 if packed else 2) * ncand * QU * 4,
         transcendentals=0,
     )
-    if PACKED:
+    if packed:
         cand_pk = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             cost_estimate=cost, interpret=interpret,
-        )(qtab, btab, vtab, ftab, wtab, *operands)
+        )(qtab, btab, vfw, *operands)
     else:
         cand_s, cand_i = pl.pallas_call(
             kernel, grid_spec=grid_spec,
             out_shape=(out_shape, jax.ShapeDtypeStruct((n_chunks_max + 1, QU, ncand), jnp.int32)),
             cost_estimate=cost, interpret=interpret,
-        )(qtab, btab, vtab, ftab, wtab, *operands)
+        )(qtab, btab, vfw, *operands)
 
     # ---- reassemble per pair ----------------------------------------------
     # Pair p's candidates live at flattened row padpos[p] of the kernel
@@ -392,7 +404,7 @@ def _grouped_probe_pallas(
     # into a (B, nprobe, ncand) pool).
     kc = ncand
     inv_order = jnp.zeros_like(order).at[order].set(pair_pos)
-    if PACKED:
+    if packed:
         # One packed pool: scores carry their window-local row id in the low
         # mantissa bits; storage rows recover as list_start[probed list] +
         # local (clamped — masked lanes decode garbage ids but their scores
@@ -540,6 +552,7 @@ def ivf_search_pallas(
         int8_queries,
         probe_lists=probe_lists,
         probe_bias=probe_bias,
+        packed_ok=do_rescore,
     )
     if do_rescore:
         from lotus_tpu.ops.ivf import rescore_candidates

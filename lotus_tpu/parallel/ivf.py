@@ -326,6 +326,7 @@ def sharded_ivf_search_pallas(
             owned=owned, probe_lists=probe_lists,
             probe_bias=coarse_s if residual else None,
             return_rows=do_rescore,
+            packed_ok=do_rescore,
         )
         if do_rescore:
             probe_s, probe_ids, rows = probed

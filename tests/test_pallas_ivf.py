@@ -230,6 +230,8 @@ def test_fold_top1_mode_delivers_same_rescored_sets(tmp_path, monkeypatch):
     state = load_ivf_state(idx_dir, meta, jnp.float32)
     state.setdefault("meta", meta)
 
+    monkeypatch.setattr(pivf, "PACKED", False)  # pin the unpacked fold: FOLD is ignored when packed
+    jax.clear_caches()
     ref_d, ref_i = pivf.ivf_search_pallas(
         state, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True, rescore=64
     )
@@ -272,6 +274,8 @@ def test_packed_epilogue_parity(tmp_path, monkeypatch):
     state = load_ivf_state(idx_dir, meta, jnp.int8)
     state.setdefault("meta", meta)
 
+    monkeypatch.setattr(pivf, "PACKED", False)  # the unpacked production fold is the oracle
+    jax.clear_caches()
     ref_d, ref_i = pivf.ivf_search_pallas(
         state, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True, rescore=64
     )
@@ -282,8 +286,8 @@ def test_packed_epilogue_parity(tmp_path, monkeypatch):
         got_d, got_i = pivf.ivf_search_pallas(
             state, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True, rescore=64
         )
-        # And the no-rescore path must still deliver sane (truncated-score)
-        # candidates: top-1 agreement with the production fold.
+        # And the no-rescore path must bypass packing (exact scores are the
+        # return value there): top-1 agreement with the production fold.
         nr_d, nr_i = pivf.ivf_search_pallas(
             state, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True
         )

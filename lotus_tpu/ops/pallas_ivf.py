@@ -65,6 +65,14 @@ FOLD = "top2"
 PACKED = True
 LOCAL_BITS = 13  # covers probe windows up to 8192 rows
 _LOCAL_MASK = (1 << LOCAL_BITS) - 1
+# vfw bit layout, derived from BL so a BL retune can never silently collide:
+# bits [0, _VBITS) hold the valid-row count (0..BL inclusive), bit _VBITS is
+# the chunk-start flag, bits above it hold block-in-list.  Block-in-list
+# bits are only MEANINGFUL under the packed gate (which bounds
+# block_idx < max_blocks <= 2^LOCAL_BITS / BL); in the unpacked path they
+# may wrap int32 for absurdly long lists and are never read.
+_VBITS = BL.bit_length()  # 10 for BL=512 (counts are 0..BL inclusive)
+_VMASK = (1 << _VBITS) - 1
 
 
 def _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref):
@@ -111,31 +119,39 @@ def _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref):
     out_i_ref[0] = jnp.concatenate([best_i, sec_i], axis=1)
 
 
-def _bucket_pack_accum(get_slice, local_base, first, out_ref):
-    """Packed top-2-per-bucket fold (``PACKED``): the window-local row id
-    rides the low mantissa bits of the score, so the running (best, second)
-    state is two plain f32 tiles updated with max/min — no index arrays.
+def _bucket_pack_accum(get_raw_slice, local_base, vcount, first, out_ref):
+    """Packed top-k-per-bucket fold (``PACKED``): the window-local row id
+    rides the low mantissa bits of the score, so the running (best[, second])
+    state is plain f32 tiles updated with max/min — no index arrays.
 
     Packing preserves float ORDER above the truncation granularity: clearing
     the low bits rounds every score toward -inf by < 2^-10 relative, and the
     id bits break ties deterministically.  Masked lanes keep MASK_SCORE
     exactly (their ids are never recovered — the score threshold kills them
-    in the reassembly)."""
+    in the reassembly).  The validity mask is fused INTO the pack select
+    (one select per element instead of mask-select + re-mask), so this
+    accumulator takes the RAW (unmasked) score slice.  ``FOLD == "top1"``
+    keeps one survivor per bucket (half the state and ~1/3 fewer ops; pair
+    collisions return — measure before enabling)."""
     nbk = BL // BUCKET
     lane = jax.lax.broadcasted_iota(jnp.int32, (QU, nbk), 1)
+    top1 = FOLD == "top1"
     prev = out_ref[0]
-    best = jnp.where(first, MASK_SCORE, prev[:, :nbk])
-    sec = jnp.where(first, MASK_SCORE, prev[:, nbk:])
+    best = jnp.where(first, MASK_SCORE, prev if top1 else prev[:, :nbk])
+    sec = None if top1 else jnp.where(first, MASK_SCORE, prev[:, nbk:])
     for j in range(BUCKET):
-        sl = get_slice(j)
+        sl = get_raw_slice(j)
         idx = local_base + j * nbk + lane
         bits = jax.lax.bitcast_convert_type(sl, jnp.int32)
         pk = jax.lax.bitcast_convert_type((bits & ~_LOCAL_MASK) | idx, jnp.float32)
-        pk = jnp.where(sl <= MASK_SCORE / 2, MASK_SCORE, pk)
-        new_best = jnp.maximum(best, pk)
-        sec = jnp.maximum(sec, jnp.minimum(best, pk))
-        best = new_best
-    out_ref[0] = jnp.concatenate([best, sec], axis=1)
+        pk = jnp.where(_slice_mask(j, vcount), pk, MASK_SCORE)
+        if top1:
+            best = jnp.maximum(best, pk)
+        else:
+            new_best = jnp.maximum(best, pk)
+            sec = jnp.maximum(sec, jnp.minimum(best, pk))
+            best = new_best
+    out_ref[0] = best if top1 else jnp.concatenate([best, sec], axis=1)
 
 
 def _bucket_top1_accum(get_slice, base, first, out_s_ref, out_i_ref):
@@ -186,39 +202,50 @@ def _probe_kernel(qtab_ref, btab_ref, vfw_ref, xq_ref, xb_ref, *rest, int8_dot, 
     sc_ref = refs.pop(0) if dequant else None
     nm_ref = refs.pop(0) if l2 else None
 
-    xb = xb_ref[:]
-    if int8_dot:
-        dot = jnp.dot(xq_ref[:], xb.T, preferred_element_type=jnp.int32)
-    else:
-        xb = xb.astype(xq_ref.dtype) if xb.dtype != xq_ref.dtype else xb
-        # f32 inputs need HIGHEST or the MXU silently rounds through bf16
-        # (wrong l2 distances); bf16 inputs take the fast path.
-        prec = jax.lax.Precision.HIGHEST if xq_ref.dtype == jnp.float32 else None
-        dot = jnp.dot(xq_ref[:], xb.T, preferred_element_type=jnp.float32, precision=prec)
     u = pl.program_id(0)
     # vfw packs (valid-row count, chunk-start flag, block-in-list) into one
     # int32 per unit: SMEM holds ~1 MB total and each prefetched scalar
     # table costs u_max * 4 bytes (221 KB at the 10M operating point), so
     # five separate tables exceed it — three fit with margin.
     vfw = vfw_ref[u]
-    vcount = vfw & 0x3FF
+    vcount = vfw & _VMASK
     base = btab_ref[u] * BL
-    first = ((vfw >> 10) & 1) != 0
+    first = ((vfw >> _VBITS) & 1) != 0
 
-    def get_slice(j):
-        sl = dot[:, j * nbk : (j + 1) * nbk].astype(jnp.float32)
-        if sc_ref is not None:
-            sl = sl * sc_ref[0, j][None, :]
-        if nm_ref is not None:
-            sl = 2.0 * sl - nm_ref[0, j][None, :]
-        return jnp.where(_slice_mask(j, vcount), sl, MASK_SCORE)
+    # The static grid bound u_max is ~2x the actual unit count at typical
+    # operating points (it assumes every chunk spans max_blocks); parked
+    # units (vcount == 0) share their neighbours' block indices so they cost
+    # no DMA, but without this gate they still ran the full VPU epilogue —
+    # measured as ~half the probe's epilogue work at nprobe=256/10M.
+    @pl.when(vcount > 0)
+    def _body():
+        xb = xb_ref[:]
+        if int8_dot:
+            dot = jnp.dot(xq_ref[:], xb.T, preferred_element_type=jnp.int32)
+        else:
+            xbc = xb.astype(xq_ref.dtype) if xb.dtype != xq_ref.dtype else xb
+            # f32 inputs need HIGHEST or the MXU silently rounds through bf16
+            # (wrong l2 distances); bf16 inputs take the fast path.
+            prec = jax.lax.Precision.HIGHEST if xq_ref.dtype == jnp.float32 else None
+            dot = jnp.dot(xq_ref[:], xbc.T, preferred_element_type=jnp.float32, precision=prec)
 
-    if packed:
-        _bucket_pack_accum(get_slice, (vfw >> 11) * BL, first, out_ref)
-    elif FOLD == "top1":
-        _bucket_top1_accum(get_slice, base, first, out_s_ref, out_i_ref)
-    else:
-        _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref)
+        def get_raw_slice(j):
+            sl = dot[:, j * nbk : (j + 1) * nbk].astype(jnp.float32)
+            if sc_ref is not None:
+                sl = sl * sc_ref[0, j][None, :]
+            if nm_ref is not None:
+                sl = 2.0 * sl - nm_ref[0, j][None, :]
+            return sl
+
+        def get_slice(j):
+            return jnp.where(_slice_mask(j, vcount), get_raw_slice(j), MASK_SCORE)
+
+        if packed:
+            _bucket_pack_accum(get_raw_slice, (vfw >> (_VBITS + 1)) * BL, vcount, first, out_ref)
+        elif FOLD == "top1":
+            _bucket_top1_accum(get_slice, base, first, out_s_ref, out_i_ref)
+        else:
+            _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref)
 
 
 @functools.partial(
@@ -331,21 +358,22 @@ def _grouped_probe_pallas(
     vtab = jnp.where(valid_u, jnp.clip(list_size[lid] - block_idx * BL, 0, BL), 0)
     ftab = jnp.where(valid_u, (block_idx == 0).astype(jnp.int32), 1)  # chunk-start flag
     wtab = jnp.where(valid_u, block_idx, 0)  # block-in-list (packed-id base)
-    # One packed scalar table (see _probe_kernel): valid count (10 bits,
-    # 0..BL=512), chunk-start flag (bit 10), block-in-list (bits 11+).
-    vfw = vtab | (ftab << 10) | (wtab << 11)
+    # One packed scalar table (see _probe_kernel): valid count (_VBITS bits,
+    # 0..BL inclusive), chunk-start flag (bit _VBITS), block-in-list above.
+    # Layout is derived from BL so a BL retune cannot collide the fields.
+    vfw = vtab | (ftab << _VBITS) | (wtab << (_VBITS + 1))
 
     # Pad query tiles with one dummy tile for parked units.
     xq_units = jnp.concatenate([xq_units, jnp.zeros((QU, d), xq_store.dtype)])
     xb_blocks = xb_sorted  # (rows, d), rows % BL == 0 (+ window padding)
 
-    # Survivors per bucket x buckets (packed mode always folds top-2).
+    # Survivors per bucket x buckets (FOLD-many per bucket, packed or not).
     # Packing truncates 13 mantissa bits of every score, so it is only used
     # when the caller exactly re-ranks the candidates afterwards
     # (packed_ok); windows beyond the LOCAL_BITS id range (8192 rows) fall
     # back to the unpacked fold instead of failing.
     packed = PACKED and packed_ok and max_blocks * BL <= (1 << LOCAL_BITS)
-    ncand = 2 * nbk if packed else (1 if FOLD == "top1" else 2) * nbk
+    ncand = (1 if FOLD == "top1" else 2) * nbk
     in_specs = [
         pl.BlockSpec((QU, d), lambda u, qt, bt, vfw: (qt[u], 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((BL, d), lambda u, qt, bt, vfw: (bt[u], 0), memory_space=pltpu.VMEM),

@@ -298,3 +298,85 @@ def test_packed_epilogue_parity(tmp_path, monkeypatch):
         assert set(np.asarray(got_i)[q]) == set(np.asarray(ref_i)[q]), q
     np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), rtol=1e-4, atol=1e-4)
     assert (np.asarray(nr_i)[:, 0] == np.asarray(ref_i)[:, 0]).all()
+
+
+def _residual_store(tmp_path, name, rng, n=4096, d=32, nlist=8, skew=False):
+    centers = rng.standard_normal((8, d)).astype(np.float32)
+    which = np.zeros(n, np.int64) if skew else rng.integers(0, 8, n)
+    emb = centers[which] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    idx_dir = str(tmp_path / name)
+    meta = {"kind": "ivf", "metric": "ip",
+            **build_ivf(idx_dir, emb, nlist=nlist, metric="ip", block_align=512)}
+    meta["encoding"] = "residual_int8"
+    state = load_ivf_state(idx_dir, meta, jnp.int8)
+    state.setdefault("meta", meta)
+    return emb, state
+
+
+@pytest.mark.parametrize("fold,bucket", [("top2", 4), ("top1", 4), ("top1", 8)])
+def test_packed_fold_variants_parity(tmp_path, monkeypatch, fold, bucket):
+    """Every (FOLD, BUCKET) combination of the PACKED epilogue must deliver
+    the same rescored candidate sets as the unpacked top2/8 production fold
+    at full probe — the shootout's correctness precondition."""
+    import jax
+
+    import lotus_tpu.ops.pallas_ivf as pivf
+
+    rng = np.random.default_rng(31)
+    b, k = 6, 5
+    emb, state = _residual_store(tmp_path, f"pk_{fold}{bucket}", rng)
+    queries = emb[:b] + 0.01 * rng.standard_normal((b, emb.shape[1])).astype(np.float32)
+
+    monkeypatch.setattr(pivf, "PACKED", False)
+    jax.clear_caches()
+    ref_d, ref_i = pivf.ivf_search_pallas(
+        state, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True, rescore=64
+    )
+
+    monkeypatch.setattr(pivf, "PACKED", True)
+    monkeypatch.setattr(pivf, "FOLD", fold)
+    monkeypatch.setattr(pivf, "BUCKET", bucket)
+    jax.clear_caches()
+    try:
+        got_d, got_i = pivf.ivf_search_pallas(
+            state, jnp.asarray(queries), k, nprobe=8, metric="ip", interpret=True, rescore=64
+        )
+    finally:
+        jax.clear_caches()
+
+    for q in range(b):
+        assert set(np.asarray(got_i)[q]) == set(np.asarray(ref_i)[q]), q
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), rtol=1e-4, atol=1e-4)
+
+
+def test_packed_falls_back_when_window_exceeds_id_range(tmp_path, monkeypatch):
+    """A store whose probe window exceeds the LOCAL_BITS id range (8192 rows)
+    must silently take the unpacked fold under PACKED=True and still match
+    the explicit unpacked result — the documented per-call fallback."""
+    import jax
+
+    import lotus_tpu.ops.pallas_ivf as pivf
+
+    rng = np.random.default_rng(37)
+    b, k = 4, 5
+    # One tight cluster split over 2 lists -> each ~ n/2 rows; window > 8192.
+    emb, state = _residual_store(tmp_path, "pk_fb", rng, n=18000, nlist=2, skew=True)
+    assert int(state["meta"]["probe_window"]) > (1 << pivf.LOCAL_BITS)
+    queries = emb[:b] + 0.01 * rng.standard_normal((b, emb.shape[1])).astype(np.float32)
+
+    monkeypatch.setattr(pivf, "PACKED", False)
+    jax.clear_caches()
+    ref_d, ref_i = pivf.ivf_search_pallas(
+        state, jnp.asarray(queries), k, nprobe=2, metric="ip", interpret=True, rescore=32
+    )
+    monkeypatch.setattr(pivf, "PACKED", True)
+    jax.clear_caches()
+    try:
+        got_d, got_i = pivf.ivf_search_pallas(
+            state, jnp.asarray(queries), k, nprobe=2, metric="ip", interpret=True, rescore=32
+        )
+    finally:
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), rtol=1e-5)

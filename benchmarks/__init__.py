@@ -6,7 +6,15 @@ LM-protocol suites (reference parity; run with a real provider, or with the
 deterministic fake LM in smoke mode): rag_pipeline, judge_pipeline.
 """
 
-from benchmarks import cluster_dedup, judge_pipeline, rag_pipeline, retrieval_flat, retrieval_ivf, sim_join
+from benchmarks import (
+    cluster_dedup,
+    failure_modes,
+    judge_pipeline,
+    rag_pipeline,
+    retrieval_flat,
+    retrieval_ivf,
+    sim_join,
+)
 
 _REGISTRY = {
     "retrieval_flat": retrieval_flat,
@@ -15,6 +23,7 @@ _REGISTRY = {
     "cluster_dedup": cluster_dedup,
     "rag_pipeline": rag_pipeline,
     "judge_pipeline": judge_pipeline,
+    "failure_modes": failure_modes,
 }
 
 BENCHMARKS = list(_REGISTRY.keys())

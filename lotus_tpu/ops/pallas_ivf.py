@@ -63,6 +63,20 @@ FOLD = "top2"
 # whose window exceeds the packed-id range fall back to the unpacked fold
 # automatically (per-call, in _grouped_probe_pallas).
 PACKED = True
+# Cost-attribution knob for tools_dev/exp_probe_where.py ONLY (module-global,
+# read at trace time — callers must jax.clear_caches() after flipping):
+# 1 = replace the kernel output with zeros (measures the XLA side: tables,
+# query layout, reassembly gathers, final top-k); 2 = return dummies right
+# after the kernel (measures tables + layout + kernel, no reassembly).
+_DEBUG_STAGE = 0
+# Final candidate selection via jax.lax.approx_max_k (hardware
+# PartialReduce) instead of the sort-based exact top_k.  Applies only when
+# the pool is >= 4x the output (the approx op needs reduction headroom).
+# Measured on the 10M bench (2026-08-18): a WASH within tunnel noise
+# (nprobe=256/rescore=32: 17.1k QPS approx vs 16.6k exact at identical
+# 0.9957 recall; nprobe=192: 18.5k vs 20.9k) — the pool top-k is not the
+# bottleneck, so the default stays exact (zero tail risk).
+APPROX_TOPK = False
 LOCAL_BITS = 13  # covers probe windows up to 8192 rows
 _LOCAL_MASK = (1 << LOCAL_BITS) - 1
 # vfw bit layout, derived from BL so a BL retune can never silently collide:
@@ -305,15 +319,32 @@ def _grouped_probe_pallas(
     else:
         xq_store, q_scales = xq, None
 
-    # ---- sorted pair table -------------------------------------------------
+    # ---- pair grouping WITHOUT a sort --------------------------------------
+    # A pair is (query q, probed list l); the kernel wants pairs grouped by
+    # list in query-ascending order.  The original implementation stable-
+    # argsorted the P = b*nprobe list ids — measured ~40% of the whole probe
+    # at the 10M operating point (sorts are the slowest XLA op family on
+    # TPU).  But probe_lists rows are DISTINCT per query (top-nprobe of the
+    # coarse ranking), so each (q, l) occurs at most once and a pair's rank
+    # within its list group is simply "how many earlier queries probed l" —
+    # an exclusive cumsum over the (b, nlist) 0/1 probe histogram.  This
+    # also lets every downstream pool stay in ORIGINAL pair order: no
+    # order/inv_order permutations at all.
+    l_flat = probe_lists.reshape(-1)
     q_ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nprobe)
-    slots = jnp.tile(jnp.arange(nprobe, dtype=jnp.int32), b)
-    l_ids = probe_lists.reshape(-1)
-    order = jnp.argsort(l_ids, stable=True)
-    sq, sl, sslot = q_ids[order], l_ids[order], slots[order]
-
-    counts = jax.ops.segment_sum(jnp.ones((p,), jnp.int32), sl, num_segments=nlist)
-    pair_start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+    if b * nlist <= (1 << 26):  # histogram scratch <= 256 MB
+        hist = jnp.zeros((b, nlist), jnp.int32)
+        hist = hist.at[q_ids, l_flat].set(1, mode="drop", unique_indices=True)
+        cum = jnp.cumsum(hist, axis=0)
+        counts = cum[-1]
+        rank = (cum - hist)[q_ids, l_flat]          # (P,) rank within list
+    else:  # huge-nlist fallback: group by one stable sort
+        order = jnp.argsort(l_flat, stable=True)
+        sl = l_flat[order]
+        counts = jax.ops.segment_sum(jnp.ones((p,), jnp.int32), sl, num_segments=nlist)
+        pair_start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
+        rank_sorted = jnp.arange(p, dtype=jnp.int32) - pair_start[sl]
+        rank = jnp.zeros((p,), jnp.int32).at[order].set(rank_sorted, unique_indices=True)
     chunks = -(-counts // QU)                      # query chunks per list
     chunk_cum = jnp.cumsum(chunks)                 # inclusive
     n_chunks_max = p // QU + nlist                 # static bound
@@ -330,12 +361,12 @@ def _grouped_probe_pallas(
 
     # ---- per-chunk padded query layout ------------------------------------
     # chunk c of list l sits at global chunk id (chunk_cum[l-1] + c); its QU
-    # lanes hold the list's pairs [pair_start + c*QU, ...), dummy b elsewhere.
+    # lanes hold the list's pairs in rank order, dummy b elsewhere.
     chunk_base = jnp.concatenate([jnp.zeros(1, jnp.int32), chunk_cum[:-1]])
-    pair_pos = jnp.arange(p, dtype=jnp.int32)
-    rank = pair_pos - pair_start[sl]
-    padpos = (chunk_base[sl] + rank // QU) * QU + rank % QU    # (P,)
-    sq_full = jnp.full((n_chunks_max * QU,), b, jnp.int32).at[padpos].set(sq)
+    padpos = (chunk_base[l_flat] + rank // QU) * QU + rank % QU    # (P,)
+    sq_full = jnp.full((n_chunks_max * QU,), b, jnp.int32).at[padpos].set(
+        q_ids, mode="drop", unique_indices=True
+    )
     xq_pad = jnp.concatenate([xq_store, jnp.zeros((1, d), xq_store.dtype)])
     xq_units = xq_pad[sq_full]                                  # (chunks*QU, d)
 
@@ -411,7 +442,11 @@ def _grouped_probe_pallas(
         + n_chunks_max * (1 if packed else 2) * ncand * QU * 4,
         transcendentals=0,
     )
-    if packed:
+    if _DEBUG_STAGE == 1:  # XLA side only: zero kernel output, same shapes
+        anchor = xq_units.reshape(-1)[0].astype(jnp.float32) + qtab[0] + btab[0] + vfw[0]
+        cand_pk = jnp.zeros(out_shape.shape, out_shape.dtype) + anchor
+        cand_s, cand_i = cand_pk, jnp.zeros(out_shape.shape, jnp.int32)
+    elif packed:
         cand_pk = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             cost_estimate=cost, interpret=interpret,
@@ -422,25 +457,31 @@ def _grouped_probe_pallas(
             out_shape=(out_shape, jax.ShapeDtypeStruct((n_chunks_max + 1, QU, ncand), jnp.int32)),
             cost_estimate=cost, interpret=interpret,
         )(qtab, btab, vfw, *operands)
+    if _DEBUG_STAGE == 2:  # stop after the kernel: dummies with a data anchor
+        anchor = (cand_pk if packed or _DEBUG_STAGE == 1 else cand_s).reshape(-1)[0]
+        top_s = jnp.full((b, k), MASK_SCORE, jnp.float32) + anchor
+        top_i = jnp.full((b, k), NO_HIT, jnp.int32)
+        if return_rows:
+            return top_s, top_i, jnp.zeros((b, k), jnp.int32)
+        return top_s, top_i
 
     # ---- reassemble per pair ----------------------------------------------
     # Pair p's candidates live at flattened row padpos[p] of the kernel
-    # output (chunk * QU + lane) — one (P, ncand)-row gather.  A pair whose
-    # list produced no units (probed but empty) reads an unwritten chunk
-    # row: mask by blocks-of-list > 0.  Routing back to (query, probe slot)
-    # uses the inverse pair permutation (a gather, cheaper than scattering
-    # into a (B, nprobe, ncand) pool).
+    # output (chunk * QU + lane) — one (P, ncand)-row gather.  padpos is
+    # indexed by ORIGINAL pair order (the sort-free grouping above), so the
+    # gather lands directly in (query, probe slot) layout — no inverse
+    # permutation pass.  A pair whose list produced no units (probed but
+    # empty) reads an unwritten chunk row: mask by blocks-of-list > 0.
     kc = ncand
-    inv_order = jnp.zeros_like(order).at[order].set(pair_pos)
+    empty = (blocks[l_flat] > 0)[:, None]
     if packed:
         # One packed pool: scores carry their window-local row id in the low
         # mantissa bits; storage rows recover as list_start[probed list] +
         # local (clamped — masked lanes decode garbage ids but their scores
         # stay MASK_SCORE and die at the top-k).
         flat = cand_pk.reshape((n_chunks_max + 1) * QU, ncand)
-        pool = flat[padpos]
-        pool = jnp.where((blocks[sl] > 0)[:, None], pool, MASK_SCORE)
-        packed3 = pool[inv_order].reshape(b, nprobe, kc)
+        pool = jnp.where(empty, flat[padpos], MASK_SCORE)
+        packed3 = pool.reshape(b, nprobe, kc)
         bits = jax.lax.bitcast_convert_type(packed3, jnp.int32)
         starts = jnp.take(list_start, probe_lists, axis=0)  # (b, nprobe)
         cand_i = jnp.minimum(
@@ -450,11 +491,8 @@ def _grouped_probe_pallas(
     else:
         flat_s = cand_s.reshape((n_chunks_max + 1) * QU, ncand)
         flat_i = cand_i.reshape((n_chunks_max + 1) * QU, ncand)
-        pool_s = flat_s[padpos]                               # (P, ncand)
-        pool_i = flat_i[padpos]
-        pool_s = jnp.where((blocks[sl] > 0)[:, None], pool_s, MASK_SCORE)
-        cand_s = pool_s[inv_order].reshape(b, nprobe, kc)
-        cand_i = pool_i[inv_order].reshape(b, nprobe, kc)
+        cand_s = jnp.where(empty, flat_s[padpos], MASK_SCORE).reshape(b, nprobe, kc)
+        cand_i = flat_i[padpos].reshape(b, nprobe, kc)
     if probe_bias is not None:
         # Residual encoding: the stored vectors are (x - centroid), so every
         # candidate of probe slot s owes the exact coarse term q.c held in
@@ -471,7 +509,14 @@ def _grouped_probe_pallas(
     # copy: spilled (SOAR-style replicated) rows can reach the pool through
     # two probed lists.  Cheap — the argsort is over 2k elements.
     k_out = min(2 * k, nprobe * kc)
-    top_s, pos = jax.lax.top_k(cand_s, k_out)
+    if APPROX_TOPK and nprobe * kc >= 4 * k_out:
+        # Candidate SELECTION over the (b, nprobe*ncand) pool rides the
+        # hardware PartialReduce (the sort-based exact top_k was ~20% of the
+        # whole batch at k_out=64); the loss is bounded by recall_target and
+        # the survivors are exactly re-ranked downstream when rescoring.
+        top_s, pos = jax.lax.approx_max_k(cand_s, k_out, recall_target=0.99)
+    else:
+        top_s, pos = jax.lax.top_k(cand_s, k_out)
     top_rows = jnp.take_along_axis(cand_i, pos, axis=1)
     top_i = row_ids[top_rows]
     top_i = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_i)

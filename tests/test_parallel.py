@@ -465,3 +465,44 @@ def test_sharded_window_probe_rescore(mesh, tmp_path):
         np.asarray(resc_d)[:, 0], np.sum(queries * emb[resc_i[:, 0]], axis=1),
         rtol=3e-2, atol=3e-2,
     )
+
+
+def test_sharded_ivf_recall_at_scale(mesh, tmp_path):
+    """Scale-ish recall gate on the 8-device CPU mesh (VERDICT round-3
+    item 5): a clustered 128k-row corpus sharded by IVF list must hold
+    recall@10 >= 0.95 vs the exact single-device oracle at a partial
+    probe, and every shard must own live lists (skew/balance check)."""
+    import jax.numpy as jnp
+
+    from lotus_tpu.ops import flat_search
+    from lotus_tpu.ops.ivf import build_ivf, load_ivf_state
+    from lotus_tpu.parallel.ivf import shard_ivf_state, sharded_ivf_search
+
+    rng = np.random.default_rng(42)
+    n, d, b, k, nlist = 131072, 48, 64, 10, 128
+    centers = rng.standard_normal((256, d)).astype(np.float32) * 2
+    emb = centers[rng.integers(0, 256, n)] + 0.3 * rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[rng.choice(n, b, replace=False)] + 0.02 * rng.standard_normal((b, d)).astype(
+        np.float32
+    )
+
+    idx_dir = str(tmp_path / "ivf_scale")
+    meta = {"kind": "ivf", "metric": "ip", **build_ivf(idx_dir, emb, nlist=nlist, metric="ip")}
+    state = load_ivf_state(idx_dir, meta, jnp.float32)
+    state["meta"] = meta
+
+    ref_d, ref_i = flat_search(jnp.asarray(emb), jnp.asarray(queries), k, metric="ip")
+    ref = np.asarray(ref_i)
+
+    sharded = shard_ivf_state(state, mesh)
+    # Balance: every mesh slot must own a non-trivial share of the rows.
+    owned = np.asarray(sharded["owned"])          # (devices, nlist) bool
+    sizes = np.asarray(state["ivf_list_size"])
+    per_shard_rows = (owned * sizes[None, :]).sum(axis=1)
+    assert (per_shard_rows > 0.02 * n).all(), per_shard_rows
+
+    got_d, got_i = sharded_ivf_search(sharded, jnp.asarray(queries), k, nprobe=16, metric="ip")
+    got = np.asarray(got_i)
+    recall = np.mean([len(set(got[q]) & set(ref[q])) / k for q in range(b)])
+    assert recall >= 0.95, f"sharded recall@10 {recall:.4f} < 0.95 at nprobe=16/128"

@@ -1,10 +1,5 @@
-"""Fold-mode shootout at the nprobe=256 operating point.
-
-top2/BUCKET=8 (production): 12-14 epilogue ops per score element.
-top1/BUCKET=4: same 128 candidates per (query, list-chunk) from finer
-buckets at ~1/3 fewer ops — but pair collisions (two true top-10 rows in
-one 4-row bucket of a folded list) return.  Recall decides.
-"""
+"""Round-4 operating-point check: sort-free tables + approx candidate
+selection, QPS + recall at nprobe in {192, 256}, rescore in {32, 64}."""
 import time
 
 import jax
@@ -28,25 +23,16 @@ say(f"build: {built['build_vecs_per_s']:,.0f} vecs/s")
 xq_dev = jnp.asarray(xq, jnp.float32)
 B, K = xq.shape[0], 10
 
-VARIANTS = (
-    ("top2", 8, True),    # production (packed, half-lane nbk=64)
-    ("top2", 8, False),   # unpacked fold
-    ("top2", 4, True),    # full-lane fold (nbk=128), 256 candidates/pair
-    ("top1", 4, True),    # full-lane, fewest epilogue ops, collision risk
-    ("top1", 8, True),
-)
-
-for fold, bucket, packed in VARIANTS:
-    pivf.FOLD, pivf.BUCKET, pivf.PACKED = fold, bucket, packed
+for approx in (True, False):
+    pivf.APPROX_TOPK = approx
     jax.clear_caches()
+    for nprobe, rescore in ((256, 32), (192, 32), (256, 64)):
+        def search(q):
+            return pivf.ivf_search_pallas(
+                state, q, K, nprobe=nprobe, metric="ip", rescore=rescore,
+                int8_queries=True, query_chunk=2048,
+            )
 
-    def search(q, nprobe=256):
-        return pivf.ivf_search_pallas(
-            state, q, K, nprobe=nprobe, metric="ip", rescore=32,
-            int8_queries=True, query_chunk=2048,
-        )
-
-    try:
         d_, i_ = search(xq_dev)
         got = fetch_int32(i_)[: gt.shape[0]]
         rec = float(np.mean([len(set(got[i]) & set(gt[i])) / K for i in range(gt.shape[0])]))
@@ -59,7 +45,6 @@ for fold, bucket, packed in VARIANTS:
                 q = xq_dev + 0.0 * dd[:, :1]
             float(np.asarray(dd[0, 0]))
             best = min(best, (time.perf_counter() - t0) / 3)
-        say(f"{fold}/BUCKET={bucket}/packed={packed}: {B / best:,.0f} QPS, recall@10={rec:.4f}")
-    except Exception as e:
-        say(f"{fold}/BUCKET={bucket}/packed={packed}: FAILED {type(e).__name__}: {e}")
-pivf.FOLD, pivf.BUCKET, pivf.PACKED = "top2", 8, False
+        say(f"approx={approx} nprobe={nprobe} rescore={rescore}: "
+            f"{B / best:,.0f} QPS, recall@10={rec:.4f}")
+pivf.APPROX_TOPK = True

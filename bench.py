@@ -32,15 +32,20 @@ B = 4096
 
 
 MODEL_CPU_SGEMM_FLOPS = 50e9  # generous single-core sgemm rate for the faiss model
+MODEL_CPU_CORES = 16          # multi-core model: faiss IVF search threads well
 
 
-def _modeled_cpu_faiss_qps(n_total: int, d: int, nprobe: int, nlist: int) -> float:
+def _modeled_cpu_faiss_qps(n_total: int, d: int, nprobe: int, nlist: int, cores: int = 1) -> float:
     """CPU faiss IVF-Flat model: per query it scans ~nprobe/nlist of the
-    corpus at an (assumed healthy) 50 GFLOP/s single-core sgemm rate.  Used
-    because this dev host's CPU measures ~100x below a normal core, which
-    would inflate vs_baseline absurdly; 50 GFLOP/s is GENEROUS to faiss."""
+    corpus at an (assumed healthy) 50 GFLOP/s-per-core sgemm rate, scaled
+    by ``cores`` (faiss IVF search is embarrassingly parallel over
+    queries).  A model is used because this dev host's CPU measures ~100x
+    below a normal core, which would inflate vs_baseline absurdly;
+    50 GFLOP/s/core is GENEROUS to faiss.  The headline ``vs_baseline``
+    uses the 16-core model (the conservative, skeptic-proof framing); the
+    single-core model is recorded alongside."""
     rows = n_total * nprobe / max(nlist, 1)
-    return MODEL_CPU_SGEMM_FLOPS / (2.0 * rows * d)
+    return cores * MODEL_CPU_SGEMM_FLOPS / (2.0 * rows * d)
 
 
 def _cpu_baseline_qps(xq: np.ndarray, xb_sample: np.ndarray, n_total: int) -> float:
@@ -74,6 +79,18 @@ def main() -> None:
     )
 
     say = lambda m: print(m, file=sys.stderr, flush=True)  # noqa: E731
+    if on_tpu:
+        # Prewarm the build's device programs (corpus-gen chunk, k-means
+        # steps, fused scan step) on a 2-chunk corpus with IDENTICAL chunk
+        # shapes: the axon compile helper re-processes each program once
+        # per process even on a persistent-cache hit (measured 100s+ on the
+        # first scan execution), which would otherwise be billed to the
+        # build throughput below.  Steady-state build is the honest number.
+        say("prewarm: 2-chunk build (same program shapes)")
+        synth_ivf_device_build(
+            **{**scale_cfg, "n": 2 * scale_cfg["chunk"]},
+            gt_queries=16, k=K, seed=1, log=lambda m: None,
+        )
     built = synth_ivf_device_build(**scale_cfg, gt_queries=256, k=K, seed=0, log=say)
     state, xq, gt = built["state"], built["queries"], built["gt"]
     n, d = scale_cfg["n"], scale_cfg["d"]
@@ -112,7 +129,8 @@ def main() -> None:
         _gen_chunk(jax.random.PRNGKey(7), centers, 16384, d, scale_cfg["n_clusters"], 2.5)
     )
     host_qps = _cpu_baseline_qps(xq, sample, n)
-    cpu_qps = _modeled_cpu_faiss_qps(n, d, nprobe, scale_cfg["nlist"])
+    cpu_qps_1c = _modeled_cpu_faiss_qps(n, d, nprobe, scale_cfg["nlist"])
+    cpu_qps_mc = _modeled_cpu_faiss_qps(n, d, nprobe, scale_cfg["nlist"], cores=MODEL_CPU_CORES)
 
     print(
         json.dumps(
@@ -120,9 +138,10 @@ def main() -> None:
                 "metric": f"ivf_search_qps_per_chip_{n // 2**20}Mi_{d}d_b{b}_k10_nprobe{nprobe}",
                 "value": round(qps, 1),
                 "unit": "queries/sec",
-                "vs_baseline": round(qps / cpu_qps, 2),
+                "vs_baseline": round(qps / cpu_qps_mc, 2),
                 "recall_at_10_vs_exact_f32": round(recall, 4),
-                "cpu_model_qps_50gflops": round(cpu_qps, 1),
+                "cpu_model_qps_16core_50gflops": round(cpu_qps_mc, 1),
+                "cpu_model_qps_1core_50gflops": round(cpu_qps_1c, 1),
                 "cpu_host_measured_qps": round(host_qps, 2),
                 "build_vecs_per_s": round(built["build_vecs_per_s"], 1),
                 "storage": "residual int8 + int4 refinement, exact top-32 rescoring",

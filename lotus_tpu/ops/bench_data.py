@@ -200,7 +200,7 @@ def synth_ivf_device_build(
     queries_b: int = 4096,
     gt_queries: int = 256,
     k: int = 10,
-    block_align: int = 512,
+    block_align: int = 1024,
     seed: int = 0,
     kmeans_iters: int = 10,
     encoding: str = "residual_int8",

@@ -36,10 +36,19 @@ from lotus_tpu.ops.common import MASK_SCORE, NO_HIT, as_distance, dedup_topk
 from lotus_tpu.ops.flat import flat_search
 
 QU = 128     # query lanes per unit
-BL = 512     # db rows per block (index must be built with block_align=BL)
-# Rows per emitted candidate.  IVF candidate pools are small (nprobe lists,
-# not the whole DB), so the bucket must be much finer than the flat kernel's
-# 128.  With the exact-rescoring stage downstream, the bucket only needs to
+# Default BUILD alignment (db rows per kernel block).  The probe adapts to
+# each store's own ``block_align`` per call (512-aligned stores keep
+# working); new builds default to 1024, which halves the grid-step count at
+# identical per-lane bucket statistics — measured +7% QPS on the 10M bench
+# (18.2k vs 17.0k at nprobe=256, same 0.9957 recall, 2026-08-18,
+# tools_dev/exp_probe_bl.py).  VMEM bounds the ceiling (~2048 at d=768).
+BL = 1024
+# Buckets per 512 storage rows.  The fold's lane count is nbk = 512//BUCKET
+# and the per-call bucket loop runs bl//nbk iterations, so bucket
+# STATISTICS (rows per candidate lane across a folded list) are independent
+# of the block size.  IVF candidate pools are small (nprobe lists, not the
+# whole DB), so the bucket must be much finer than the flat kernel's 128.
+# With the exact-rescoring stage downstream, the bucket only needs to
 # DELIVER candidates, not rank them.  Since the fold runs across a WHOLE
 # list (several blocks), clustered corpora concentrate many of a query's
 # true top-10 in one list: at BUCKET=16 (32 lanes x top-2) triple
@@ -79,17 +88,16 @@ _DEBUG_STAGE = 0
 APPROX_TOPK = False
 LOCAL_BITS = 13  # covers probe windows up to 8192 rows
 _LOCAL_MASK = (1 << LOCAL_BITS) - 1
-# vfw bit layout, derived from BL so a BL retune can never silently collide:
-# bits [0, _VBITS) hold the valid-row count (0..BL inclusive), bit _VBITS is
-# the chunk-start flag, bits above it hold block-in-list.  Block-in-list
-# bits are only MEANINGFUL under the packed gate (which bounds
-# block_idx < max_blocks <= 2^LOCAL_BITS / BL); in the unpacked path they
-# may wrap int32 for absurdly long lists and are never read.
-_VBITS = BL.bit_length()  # 10 for BL=512 (counts are 0..BL inclusive)
-_VMASK = (1 << _VBITS) - 1
+# vfw bit layout, derived from the per-call block size so a retune can never
+# silently collide: bits [0, vbits) hold the valid-row count (0..bl
+# inclusive), bit vbits is the chunk-start flag, bits above it hold
+# block-in-list.  Block-in-list bits are only MEANINGFUL under the packed
+# gate (which bounds block_idx < max_blocks <= 2^LOCAL_BITS / bl); in the
+# unpacked path they may wrap int32 for absurdly long lists and are never
+# read.  vbits = bl.bit_length() (11 for bl=1024).
 
 
-def _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref):
+def _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref, nbk, bucket):
     """Fold BUCKET slices of (QU, nbk) scores into the running per-bucket
     (top-2 score, global index) state held in the OUTPUT block.
 
@@ -111,7 +119,6 @@ def _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref):
     scores for db rows [j*nbk, (j+1)*nbk) of the block; ``base`` is the
     block's global starting row, so emitted indices are global int32.
     """
-    nbk = BL // BUCKET
     lane = jax.lax.broadcasted_iota(jnp.int32, (QU, nbk), 1)
     prev_s = out_s_ref[0]
     prev_i = out_i_ref[0]
@@ -119,7 +126,7 @@ def _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref):
     best_i = jnp.where(first, 0, prev_i[:, :nbk])
     sec_s = jnp.where(first, MASK_SCORE, prev_s[:, nbk:])
     sec_i = jnp.where(first, 0, prev_i[:, nbk:])
-    for j in range(BUCKET):
+    for j in range(bucket):
         sl = get_slice(j)
         idx = base + j * nbk + lane
         upd = sl > best_s
@@ -133,7 +140,7 @@ def _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref):
     out_i_ref[0] = jnp.concatenate([best_i, sec_i], axis=1)
 
 
-def _bucket_pack_accum(get_raw_slice, local_base, vcount, first, out_ref):
+def _bucket_pack_accum(get_raw_slice, local_base, vcount, first, out_ref, nbk, bucket):
     """Packed top-k-per-bucket fold (``PACKED``): the window-local row id
     rides the low mantissa bits of the score, so the running (best[, second])
     state is plain f32 tiles updated with max/min — no index arrays.
@@ -147,18 +154,17 @@ def _bucket_pack_accum(get_raw_slice, local_base, vcount, first, out_ref):
     accumulator takes the RAW (unmasked) score slice.  ``FOLD == "top1"``
     keeps one survivor per bucket (half the state and ~1/3 fewer ops; pair
     collisions return — measure before enabling)."""
-    nbk = BL // BUCKET
     lane = jax.lax.broadcasted_iota(jnp.int32, (QU, nbk), 1)
     top1 = FOLD == "top1"
     prev = out_ref[0]
     best = jnp.where(first, MASK_SCORE, prev if top1 else prev[:, :nbk])
     sec = None if top1 else jnp.where(first, MASK_SCORE, prev[:, nbk:])
-    for j in range(BUCKET):
+    for j in range(bucket):
         sl = get_raw_slice(j)
         idx = local_base + j * nbk + lane
         bits = jax.lax.bitcast_convert_type(sl, jnp.int32)
         pk = jax.lax.bitcast_convert_type((bits & ~_LOCAL_MASK) | idx, jnp.float32)
-        pk = jnp.where(_slice_mask(j, vcount), pk, MASK_SCORE)
+        pk = jnp.where(_slice_mask(j, vcount, nbk), pk, MASK_SCORE)
         if top1:
             best = jnp.maximum(best, pk)
         else:
@@ -168,15 +174,14 @@ def _bucket_pack_accum(get_raw_slice, local_base, vcount, first, out_ref):
     out_ref[0] = best if top1 else jnp.concatenate([best, sec], axis=1)
 
 
-def _bucket_top1_accum(get_slice, base, first, out_s_ref, out_i_ref):
+def _bucket_top1_accum(get_slice, base, first, out_s_ref, out_i_ref, nbk, bucket):
     """Top-1-per-bucket fold (``FOLD == "top1"``): same output width as the
     top-2 fold when BUCKET is halved, at ~1/3 fewer epilogue ops per score
     element — the candidate-count/VPU-work trade the fold-mode knob exposes."""
-    nbk = BL // BUCKET
     lane = jax.lax.broadcasted_iota(jnp.int32, (QU, nbk), 1)
     best_s = jnp.where(first, MASK_SCORE, out_s_ref[0])
     best_i = jnp.where(first, 0, out_i_ref[0])
-    for j in range(BUCKET):
+    for j in range(bucket):
         sl = get_slice(j)
         idx = base + j * nbk + lane
         upd = sl > best_s
@@ -186,13 +191,12 @@ def _bucket_top1_accum(get_slice, base, first, out_s_ref, out_i_ref):
     out_i_ref[0] = best_i
 
 
-def _slice_mask(j, vcount):
-    nbk = BL // BUCKET
+def _slice_mask(j, vcount, nbk):
     cols = j * nbk + jax.lax.broadcasted_iota(jnp.int32, (QU, nbk), 1)
     return cols < vcount
 
 
-def _probe_kernel(qtab_ref, btab_ref, vfw_ref, xq_ref, xb_ref, *rest, int8_dot, dequant, l2, packed):
+def _probe_kernel(qtab_ref, btab_ref, vfw_ref, xq_ref, xb_ref, *rest, int8_dot, dequant, l2, packed, bl, bucket):
     """One unit: (QU, d) x (BL, d)^T -> per-bucket (top-2, arg).
 
     Variants (static flags; extra inputs in order):
@@ -206,7 +210,9 @@ def _probe_kernel(qtab_ref, btab_ref, vfw_ref, xq_ref, xb_ref, *rest, int8_dot, 
       same way (int8 l2 keeps queries bf16: the query scale would multiply
       only the dot term, so it is NOT rank-neutral under the subtraction).
     """
-    nbk = BL // BUCKET
+    nbk = bl // bucket
+    vbits = bl.bit_length()
+    vmask = (1 << vbits) - 1
     refs = list(rest)
     if packed:
         out_ref = refs.pop()
@@ -222,9 +228,9 @@ def _probe_kernel(qtab_ref, btab_ref, vfw_ref, xq_ref, xb_ref, *rest, int8_dot, 
     # table costs u_max * 4 bytes (221 KB at the 10M operating point), so
     # five separate tables exceed it — three fit with margin.
     vfw = vfw_ref[u]
-    vcount = vfw & _VMASK
-    base = btab_ref[u] * BL
-    first = ((vfw >> _VBITS) & 1) != 0
+    vcount = vfw & vmask
+    base = btab_ref[u] * bl
+    first = ((vfw >> vbits) & 1) != 0
 
     # The static grid bound u_max is ~2x the actual unit count at typical
     # operating points (it assumes every chunk spans max_blocks); parked
@@ -252,19 +258,21 @@ def _probe_kernel(qtab_ref, btab_ref, vfw_ref, xq_ref, xb_ref, *rest, int8_dot, 
             return sl
 
         def get_slice(j):
-            return jnp.where(_slice_mask(j, vcount), get_raw_slice(j), MASK_SCORE)
+            return jnp.where(_slice_mask(j, vcount, nbk), get_raw_slice(j), MASK_SCORE)
 
         if packed:
-            _bucket_pack_accum(get_raw_slice, (vfw >> (_VBITS + 1)) * BL, vcount, first, out_ref)
+            _bucket_pack_accum(
+                get_raw_slice, (vfw >> (vbits + 1)) * bl, vcount, first, out_ref, nbk, bucket
+            )
         elif FOLD == "top1":
-            _bucket_top1_accum(get_slice, base, first, out_s_ref, out_i_ref)
+            _bucket_top1_accum(get_slice, base, first, out_s_ref, out_i_ref, nbk, bucket)
         else:
-            _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref)
+            _bucket_top2_accum(get_slice, base, first, out_s_ref, out_i_ref, nbk, bucket)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "max_blocks", "metric", "interpret", "int8_queries", "return_rows", "packed_ok"),
+    static_argnames=("k", "nprobe", "max_blocks", "metric", "interpret", "int8_queries", "return_rows", "packed_ok", "bl"),
 )
 def _grouped_probe_pallas(
     centroids: jnp.ndarray,
@@ -286,11 +294,16 @@ def _grouped_probe_pallas(
     probe_bias: jnp.ndarray | None = None,
     return_rows: bool = False,
     packed_ok: bool = False,
+    bl: int = 512,
 ):
     b, d = xq.shape
     nlist = list_start.shape[0]
     p = b * nprobe
-    nbk = BL // BUCKET
+    # Per-call block geometry: nbk (candidate lanes) is block-size-invariant
+    # (512 // BUCKET), the bucket loop covers the whole block.
+    nbk = 512 // BUCKET
+    bucket = bl // nbk
+    vbits = bl.bit_length()
     is_int8 = xb_sorted.dtype == jnp.int8
     is_l2 = metric == "l2"
     # Mixed precision is the default for int8 storage: the db stays int8 in
@@ -348,7 +361,7 @@ def _grouped_probe_pallas(
     chunks = -(-counts // QU)                      # query chunks per list
     chunk_cum = jnp.cumsum(chunks)                 # inclusive
     n_chunks_max = p // QU + nlist                 # static bound
-    blocks = jnp.where(counts > 0, -(-list_size // BL), 0)  # probed lists only
+    blocks = jnp.where(counts > 0, -(-list_size // bl), 0)  # probed lists only
     upl = chunks * blocks                          # units per list
     unit_cum = jnp.cumsum(upl)                     # inclusive
     total_units = unit_cum[-1]
@@ -357,7 +370,7 @@ def _grouped_probe_pallas(
     #    + rows // BL                        (the +1-per-probed-list part:
     #                                         every list's blocks exist in
     #                                         the block-aligned storage)
-    u_max = max_blocks * (p // QU) + xb_sorted.shape[0] // BL
+    u_max = max_blocks * (p // QU) + xb_sorted.shape[0] // bl
 
     # ---- per-chunk padded query layout ------------------------------------
     # chunk c of list l sits at global chunk id (chunk_cum[l-1] + c); its QU
@@ -385,43 +398,44 @@ def _grouped_probe_pallas(
     valid_u = u_ids < total_units
 
     qtab = jnp.where(valid_u, chunk_base[lid] + chunk_idx, n_chunks_max)  # query-tile index
-    btab = jnp.where(valid_u, list_start[lid] // BL + block_idx, xb_sorted.shape[0] // BL - 1)
-    vtab = jnp.where(valid_u, jnp.clip(list_size[lid] - block_idx * BL, 0, BL), 0)
+    btab = jnp.where(valid_u, list_start[lid] // bl + block_idx, xb_sorted.shape[0] // bl - 1)
+    vtab = jnp.where(valid_u, jnp.clip(list_size[lid] - block_idx * bl, 0, bl), 0)
     ftab = jnp.where(valid_u, (block_idx == 0).astype(jnp.int32), 1)  # chunk-start flag
     wtab = jnp.where(valid_u, block_idx, 0)  # block-in-list (packed-id base)
-    # One packed scalar table (see _probe_kernel): valid count (_VBITS bits,
-    # 0..BL inclusive), chunk-start flag (bit _VBITS), block-in-list above.
-    # Layout is derived from BL so a BL retune cannot collide the fields.
-    vfw = vtab | (ftab << _VBITS) | (wtab << (_VBITS + 1))
+    # One packed scalar table (see _probe_kernel): valid count (vbits bits,
+    # 0..bl inclusive), chunk-start flag (bit vbits), block-in-list above.
+    # Layout is derived from bl so a block-size retune cannot collide fields.
+    vfw = vtab | (ftab << vbits) | (wtab << (vbits + 1))
 
     # Pad query tiles with one dummy tile for parked units.
     xq_units = jnp.concatenate([xq_units, jnp.zeros((QU, d), xq_store.dtype)])
-    xb_blocks = xb_sorted  # (rows, d), rows % BL == 0 (+ window padding)
+    xb_blocks = xb_sorted  # (rows, d), rows % bl == 0 (+ window padding)
 
     # Survivors per bucket x buckets (FOLD-many per bucket, packed or not).
     # Packing truncates 13 mantissa bits of every score, so it is only used
     # when the caller exactly re-ranks the candidates afterwards
     # (packed_ok); windows beyond the LOCAL_BITS id range (8192 rows) fall
     # back to the unpacked fold instead of failing.
-    packed = PACKED and packed_ok and max_blocks * BL <= (1 << LOCAL_BITS)
+    packed = PACKED and packed_ok and max_blocks * bl <= (1 << LOCAL_BITS)
     ncand = (1 if FOLD == "top1" else 2) * nbk
     in_specs = [
         pl.BlockSpec((QU, d), lambda u, qt, bt, vfw: (qt[u], 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((BL, d), lambda u, qt, bt, vfw: (bt[u], 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bl, d), lambda u, qt, bt, vfw: (bt[u], 0), memory_space=pltpu.VMEM),
     ]
     operands = [xq_units, xb_blocks]  # xq_store dtype already matches the kernel variant
     # (nblocks, BUCKET, nbk): full trailing dims per block (tile-legal).
     per_row_spec = pl.BlockSpec(
-        (1, BUCKET, BL // BUCKET), lambda u, qt, bt, vfw: (bt[u], 0, 0), memory_space=pltpu.VMEM
+        (1, bucket, nbk), lambda u, qt, bt, vfw: (bt[u], 0, 0), memory_space=pltpu.VMEM
     )
     if is_int8:
         in_specs.append(per_row_spec)
-        operands.append(row_scales.reshape(-1, BUCKET, BL // BUCKET))
+        operands.append(row_scales.reshape(-1, bucket, nbk))
     if is_l2:
         in_specs.append(per_row_spec)
-        operands.append(norms_sq.reshape(-1, BUCKET, BL // BUCKET))
+        operands.append(norms_sq.reshape(-1, bucket, nbk))
     kernel = functools.partial(
-        _probe_kernel, int8_dot=int8_dot, dequant=is_int8, l2=is_l2, packed=packed
+        _probe_kernel, int8_dot=int8_dot, dequant=is_int8, l2=is_l2, packed=packed,
+        bl=bl, bucket=bucket,
     )
     # Output is indexed by CHUNK, not unit: consecutive units of one chunk
     # revisit the same output block (kept in VMEM, flushed once per chunk).
@@ -437,8 +451,8 @@ def _grouped_probe_pallas(
         out_specs=out_spec if packed else (out_spec, out_spec),
     )
     cost = pl.CostEstimate(
-        flops=2 * u_max * QU * BL * d,
-        bytes_accessed=u_max * (QU * d * 4 + BL * d * 2)
+        flops=2 * u_max * QU * bl * d,
+        bytes_accessed=u_max * (QU * d * 4 + bl * d * 2)
         + n_chunks_max * (1 if packed else 2) * ncand * QU * 4,
         transcendentals=0,
     )
@@ -549,7 +563,9 @@ def ivf_search_pallas(
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Grouped IVF probe via the Pallas block-DMA kernel (ip/cosine/l2).
 
-    Requires a block-aligned index (``build_ivf(..., block_align=512)``).
+    Requires a block-aligned index (``build_ivf(..., block_align=...)`` with
+    a multiple of 512; the kernel adapts to the store's own alignment, so
+    512-aligned and 1024-aligned stores both probe natively).
 
     Stores with ``meta["encoding"] == "residual_int8"`` hold int8 residuals
     (x - assigned centroid); the exact f32 coarse term q.c from the ranking
@@ -569,12 +585,16 @@ def ivf_search_pallas(
     quantization rank flips at the top-k boundary.
     """
     meta = state["meta"]
-    if int(meta.get("block_align", 0)) != BL:
-        raise ValueError(f"index must be built with block_align={BL} for the Pallas probe")
+    bl = int(meta.get("block_align", 0))
+    if bl < 512 or bl % (512 // BUCKET) != 0:
+        raise ValueError(
+            f"index must be built with block_align >= 512 (a multiple of {512 // BUCKET}) "
+            f"for the Pallas probe; got {bl}"
+        )
     nlist = int(meta["nlist"])
     window = int(meta["probe_window"])
     nprobe = max(1, min(nprobe, nlist))
-    max_blocks = max(1, window // BL)
+    max_blocks = max(1, window // bl)
     residual = meta.get("encoding") == "residual_int8" and state["ivf_vectors"].dtype == jnp.int8
     if residual and metric == "l2":
         raise ValueError("residual_int8 stores support ip/cosine only")
@@ -597,8 +617,8 @@ def ivf_search_pallas(
     # Block-aligned builds store whole blocks plus a whole-block window pad,
     # so this never copies; anything else would re-pad the DB every call.
     vecs = state["ivf_vectors"]
-    if vecs.shape[0] % BL != 0:
-        raise ValueError("block-aligned IVF storage expected (rows % 512 != 0)")
+    if vecs.shape[0] % bl != 0:
+        raise ValueError(f"block-aligned IVF storage expected (rows % {bl} != 0)")
     if metric == "l2" and "ivf_norms_sq" not in state:
         # Float stores don't persist norms; compute once and cache.
         state["ivf_norms_sq"] = jnp.sum(jnp.square(vecs.astype(jnp.float32)), axis=-1)
@@ -626,6 +646,7 @@ def ivf_search_pallas(
         probe_lists=probe_lists,
         probe_bias=probe_bias,
         packed_ok=do_rescore,
+        bl=bl,
     )
     if do_rescore:
         from lotus_tpu.ops.ivf import rescore_candidates

@@ -267,17 +267,20 @@ def sharded_ivf_search_pallas(
     the primary storage.)  ``int8_queries`` / ``query_chunk`` mirror the
     single-device knobs.
     """
-    from lotus_tpu.ops.pallas_ivf import BL, _grouped_probe_pallas
+    from lotus_tpu.ops.pallas_ivf import BUCKET, _grouped_probe_pallas
 
     mesh: Mesh = sharded["mesh"]
     axis_name: str = sharded["axis_name"]
     meta = sharded["meta"]
-    if int(meta.get("block_align", 0)) != BL:
-        raise ValueError(f"sharded Pallas probe requires a block_align={BL} build")
+    bl = int(meta.get("block_align", 0))
+    if bl < 512 or bl % (512 // BUCKET) != 0:
+        raise ValueError(
+            f"sharded Pallas probe requires a block_align >= 512 build; got {bl}"
+        )
     nlist = int(meta["nlist"])
     window = int(meta["probe_window"])
     nprobe = max(1, min(nprobe, nlist))
-    max_blocks = max(1, window // BL)
+    max_blocks = max(1, window // bl)
 
     squeeze = xq.ndim == 1
     if squeeze:
@@ -327,6 +330,7 @@ def sharded_ivf_search_pallas(
             probe_bias=coarse_s if residual else None,
             return_rows=do_rescore,
             packed_ok=do_rescore,
+            bl=bl,
         )
         if do_rescore:
             probe_s, probe_ids, rows = probed

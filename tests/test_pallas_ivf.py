@@ -380,3 +380,36 @@ def test_packed_falls_back_when_window_exceeds_id_range(tmp_path, monkeypatch):
         jax.clear_caches()
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
     np.testing.assert_allclose(np.asarray(got_d), np.asarray(ref_d), rtol=1e-5)
+
+
+def test_probe_adapts_to_store_block_alignment(tmp_path):
+    """512-aligned and 1024-aligned stores over the same corpus must return
+    the same rescored neighbours — the kernel reads the block geometry from
+    the store meta (per-call), not from a module constant."""
+    import jax
+
+    rng = np.random.default_rng(41)
+    n, d, b, k = 8192, 32, 6, 5
+    centers = rng.standard_normal((8, d)).astype(np.float32)
+    emb = centers[rng.integers(0, 8, n)] + 0.2 * rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = emb[:b] + 0.01 * rng.standard_normal((b, d)).astype(np.float32)
+
+    results = {}
+    for align in (512, 1024):
+        idx_dir = str(tmp_path / f"al{align}")
+        meta = {"kind": "ivf", "metric": "ip",
+                **build_ivf(idx_dir, emb, nlist=4, metric="ip", block_align=align)}
+        meta["encoding"] = "residual_int8"
+        state = load_ivf_state(idx_dir, meta, jnp.int8)
+        state.setdefault("meta", meta)
+        assert int(state["meta"]["block_align"]) == align
+        d_, i_ = ivf_search_pallas(
+            state, jnp.asarray(queries), k, nprobe=4, metric="ip",
+            interpret=True, rescore=32,
+        )
+        results[align] = (np.asarray(d_), np.asarray(i_))
+        jax.clear_caches()
+
+    np.testing.assert_array_equal(results[512][1], results[1024][1])
+    np.testing.assert_allclose(results[512][0], results[1024][0], rtol=1e-5)

@@ -112,3 +112,58 @@ def test_sem_search_rerank_with_fake_reranker(df):
     reranked = df.sem_search("title", "machine learning", K=3, n_rerank=2)
     assert len(reranked) == 2
     assert reranked["title"].iloc[0] == plain["title"].iloc[2]
+
+
+def test_sem_dedup_exact_mode_matches_bruteforce_oracle(tmp_path):
+    """``max_neighbors=None`` is the reference-exact contract (K = len(df),
+    reference ``lotus/sem_ops/sem_dedup.py:45``): surviving rows must match
+    a brute-force oracle that thresholds the full similarity matrix and
+    keeps the first value of each connected component."""
+    rng = np.random.default_rng(77)
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "a database transaction commits atomically",
+        "stars form inside collapsing molecular clouds",
+        "fresh basil elevates a simple tomato sauce",
+        "gradient descent minimizes the training loss",
+    ]
+    texts = []
+    for t in base:
+        texts.append(t)
+        texts.append(t + "!")            # near-duplicate
+        texts.append("note: " + t)       # farther variant
+    rng.shuffle(texts)
+    df = pd.DataFrame({"text": texts}).sem_index("text", str(tmp_path / "exact_idx"))
+
+    threshold = 0.8
+    out = df.sem_dedup("text", threshold=threshold, max_neighbors=None)
+
+    # Brute-force oracle over the SAME embeddings the store searched.
+    rm = lotus_tpu.settings.rm
+    emb = np.asarray(rm(df["text"].tolist()))
+    emb = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = emb @ emb.T
+    n = len(df)
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            # Dedup is by VALUE: identical texts always merge.
+            if sims[i, j] > threshold or df["text"].iloc[i] == df["text"].iloc[j]:
+                parent[find(i)] = find(j)
+    # Which representative survives is implementation-defined (the
+    # reference's own DFS order is arbitrary); the exact-mode contract is
+    # the component STRUCTURE: exactly one survivor per oracle component.
+    comp_of = {}
+    for i in range(n):
+        comp_of.setdefault(find(i), set()).add(df["text"].iloc[i])
+    kept = set(out["text"])
+    for members in comp_of.values():
+        assert len(kept & members) == 1, (members, kept & members)
+    assert len(out) == len(comp_of)

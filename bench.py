@@ -27,7 +27,7 @@ import time
 import numpy as np
 
 K = 10
-NPROBE = int(os.getenv("BENCH_NPROBE", "256"))
+NPROBE = int(os.getenv("BENCH_NPROBE", "208"))
 B = 4096
 
 

@@ -39,6 +39,10 @@ def __getattr__(name: str):
         from lotus_tpu.models.sentence_transformers_rm import SentenceTransformersRM
 
         return SentenceTransformersRM
+    if name == "JaxSentenceEncoderRM":
+        from lotus_tpu.models.flax_rm import JaxSentenceEncoderRM
+
+        return JaxSentenceEncoderRM
     if name == "CrossEncoderReranker":
         from lotus_tpu.models.cross_encoder_reranker import CrossEncoderReranker
 

@@ -101,7 +101,7 @@ def main() -> None:
     nprobe = min(NPROBE, scale_cfg["nlist"])
 
     def search(q):
-        return ivf_search_pallas(state, q, K, nprobe=nprobe, metric="ip", interpret=not on_tpu, rescore=32, int8_queries=on_tpu, query_chunk=2048 if on_tpu else None)
+        return ivf_search_pallas(state, q, K, nprobe=nprobe, metric="ip", interpret=not on_tpu, rescore=24, int8_queries=on_tpu, query_chunk=2048 if on_tpu else None)
 
     from lotus_tpu.ops.common import fetch_int32
 
@@ -144,7 +144,7 @@ def main() -> None:
                 "cpu_model_qps_1core_50gflops": round(cpu_qps_1c, 1),
                 "cpu_host_measured_qps": round(host_qps, 2),
                 "build_vecs_per_s": round(built["build_vecs_per_s"], 1),
-                "storage": "residual int8 + int4 refinement, exact top-32 rescoring",
+                "storage": "residual int8 + int4 refinement, exact top-24 rescoring",
             }
         )
     )

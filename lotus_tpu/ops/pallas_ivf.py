@@ -76,8 +76,22 @@ PACKED = True
 # read at trace time — callers must jax.clear_caches() after flipping):
 # 1 = replace the kernel output with zeros (measures the XLA side: tables,
 # query layout, reassembly gathers, final top-k); 2 = return dummies right
-# after the kernel (measures tables + layout + kernel, no reassembly).
+# after the kernel (measures tables + layout + kernel, no reassembly);
+# 3 = return dummies before the kernel (tables + query layout only —
+# includes the coarse centroid ranking); 4 = after the coarse ranking only;
+# 5 = after pair grouping (hist/cumsum/rank); 6 = after the padded query
+# layout gather (before the per-unit scalar tables).
 _DEBUG_STAGE = 0
+
+
+def _dbg_out(b, k, return_rows, anchor):
+    import jax.numpy as _jnp
+
+    top_s = _jnp.full((b, k), MASK_SCORE, _jnp.float32) + anchor
+    top_i = _jnp.full((b, k), NO_HIT, _jnp.int32)
+    if return_rows:
+        return top_s, top_i, _jnp.zeros((b, k), _jnp.int32)
+    return top_s, top_i
 # Final candidate selection via jax.lax.approx_max_k (hardware
 # PartialReduce) instead of the sort-based exact top_k.  Applies only when
 # the pool is >= 4x the output (the approx op needs reduction headroom).
@@ -86,6 +100,13 @@ _DEBUG_STAGE = 0
 # 0.9957 recall; nprobe=192: 18.5k vs 20.9k) — the pool top-k is not the
 # bottleneck, so the default stays exact (zero tail risk).
 APPROX_TOPK = False
+# Coarse centroid ranking via approx_max_k: selecting the top-nprobe of
+# nlist lists is probe SELECTION, not scoring — an occasionally-missed
+# marginal list costs ~nothing at operating nprobe, while the exact
+# top_k(nprobe) over the (b, nlist) coarse scores is a full per-row sort
+# (measured 16 of the 18.5 ms coarse stage at the 10M operating point).
+# Applies when nlist >= 4x nprobe (the approx op needs reduction headroom).
+COARSE_APPROX = False
 LOCAL_BITS = 13  # covers probe windows up to 8192 rows
 _LOCAL_MASK = (1 << LOCAL_BITS) - 1
 # vfw bit layout, derived from the per-call block size so a retune can never
@@ -272,7 +293,7 @@ def _probe_kernel(qtab_ref, btab_ref, vfw_ref, xq_ref, xb_ref, *rest, int8_dot, 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "nprobe", "max_blocks", "metric", "interpret", "int8_queries", "return_rows", "packed_ok", "bl"),
+    static_argnames=("k", "nprobe", "max_blocks", "metric", "interpret", "int8_queries", "return_rows", "packed_ok", "bl", "spilled"),
 )
 def _grouped_probe_pallas(
     centroids: jnp.ndarray,
@@ -295,6 +316,7 @@ def _grouped_probe_pallas(
     return_rows: bool = False,
     packed_ok: bool = False,
     bl: int = 512,
+    spilled: bool = True,
 ):
     b, d = xq.shape
     nlist = list_start.shape[0]
@@ -317,11 +339,17 @@ def _grouped_probe_pallas(
     # Coarse ranking always uses the float queries; under shard_map the
     # caller passes the (replicated) ranking in so it is computed once.
     if probe_lists is None:
-        _, probe_lists = flat_search(centroids, xq, nprobe, metric=metric)
+        approx = COARSE_APPROX and metric != "l2" and centroids.shape[0] >= 4 * nprobe
+        _, probe_lists = flat_search(
+            centroids, xq, nprobe, metric=metric, approx=approx, recall_target=0.99
+        )
     # Sharded probes own a subset of lists: zeroing the others' sizes makes
     # their pairs produce no work units, so non-owned candidates never exist.
     if owned is not None:
         list_size = jnp.where(owned, list_size, 0)
+
+    if _DEBUG_STAGE == 4:  # coarse centroid ranking only
+        return _dbg_out(b, k, return_rows, jnp.sum(probe_lists[0, :1]).astype(jnp.float32))
 
     if int8_dot:
         from lotus_tpu.ops.quant import quantize_rows
@@ -358,6 +386,8 @@ def _grouped_probe_pallas(
         pair_start = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.cumsum(counts)[:-1]])
         rank_sorted = jnp.arange(p, dtype=jnp.int32) - pair_start[sl]
         rank = jnp.zeros((p,), jnp.int32).at[order].set(rank_sorted, unique_indices=True)
+    if _DEBUG_STAGE == 5:  # + pair grouping (hist/cumsum/rank)
+        return _dbg_out(b, k, return_rows, (rank[0] + counts[0]).astype(jnp.float32))
     chunks = -(-counts // QU)                      # query chunks per list
     chunk_cum = jnp.cumsum(chunks)                 # inclusive
     n_chunks_max = p // QU + nlist                 # static bound
@@ -382,6 +412,9 @@ def _grouped_probe_pallas(
     )
     xq_pad = jnp.concatenate([xq_store, jnp.zeros((1, d), xq_store.dtype)])
     xq_units = xq_pad[sq_full]                                  # (chunks*QU, d)
+
+    if _DEBUG_STAGE == 6:  # + padded query layout gather
+        return _dbg_out(b, k, return_rows, xq_units.reshape(-1)[0].astype(jnp.float32))
 
     # ---- per-unit scalar tables --------------------------------------------
     # Unit order within a list is chunk-major, block-minor: consecutive units
@@ -456,6 +489,13 @@ def _grouped_probe_pallas(
         + n_chunks_max * (1 if packed else 2) * ncand * QU * 4,
         transcendentals=0,
     )
+    if _DEBUG_STAGE == 3:  # tables + query layout only: skip kernel AND reassembly
+        anchor = xq_units.reshape(-1)[0].astype(jnp.float32) + (qtab[0] + btab[0] + vfw[0])
+        top_s = jnp.full((b, k), MASK_SCORE, jnp.float32) + anchor
+        top_i = jnp.full((b, k), NO_HIT, jnp.int32)
+        if return_rows:
+            return top_s, top_i, jnp.zeros((b, k), jnp.int32)
+        return top_s, top_i
     if _DEBUG_STAGE == 1:  # XLA side only: zero kernel output, same shapes
         anchor = xq_units.reshape(-1)[0].astype(jnp.float32) + qtab[0] + btab[0] + vfw[0]
         cand_pk = jnp.zeros(out_shape.shape, out_shape.dtype) + anchor
@@ -519,10 +559,13 @@ def _grouped_probe_pallas(
     cand_s = cand_s.reshape(b, nprobe * kc)
     cand_i = cand_i.reshape(b, nprobe * kc)
 
-    # Take 2k head-room, then drop duplicate row ids keeping each id's best
-    # copy: spilled (SOAR-style replicated) rows can reach the pool through
-    # two probed lists.  Cheap — the argsort is over 2k elements.
-    k_out = min(2 * k, nprobe * kc)
+    # Spilled (SOAR-style replicated) rows can reach the pool through two
+    # probed lists, so those stores take 2k head-room and collapse duplicate
+    # ids to their best copy.  Unspilled stores (the default build) hold
+    # each row in exactly ONE list and every (query, list) pair occurs once,
+    # so pool ids are unique by construction: the pool top-k IS the final
+    # ranking and the dedup pass (a per-row argsort) is skipped entirely.
+    k_out = min(2 * k if spilled else k, nprobe * kc)
     if APPROX_TOPK and nprobe * kc >= 4 * k_out:
         # Candidate SELECTION over the (b, nprobe*ncand) pool rides the
         # hardware PartialReduce (the sort-based exact top_k was ~20% of the
@@ -535,7 +578,14 @@ def _grouped_probe_pallas(
     top_i = row_ids[top_rows]
     top_i = jnp.where(top_s <= MASK_SCORE / 2, NO_HIT, top_i)
 
-    if return_rows:
+    if not spilled:
+        if k_out < k:  # pool smaller than k: pad, preserving the sorted head
+            pad = k - k_out
+            top_s = jnp.concatenate([top_s, jnp.full((b, pad), MASK_SCORE, top_s.dtype)], axis=1)
+            top_i = jnp.concatenate([top_i, jnp.full((b, pad), NO_HIT, top_i.dtype)], axis=1)
+            top_rows = jnp.concatenate([top_rows, jnp.zeros((b, pad), top_rows.dtype)], axis=1)
+        rows_out = top_rows
+    elif return_rows:
         # Storage positions ride along for shard-local exact rescoring
         # (the caller gathers vectors directly, no inverse permutation).
         top_s, top_i, rows_out = dedup_topk(top_s, top_i, k, aux=top_rows)
@@ -624,7 +674,10 @@ def ivf_search_pallas(
         state["ivf_norms_sq"] = jnp.sum(jnp.square(vecs.astype(jnp.float32)), axis=-1)
     probe_lists = probe_bias = None
     if residual:
-        coarse_sim, probe_lists = flat_search(state["centroids"], xq, nprobe, metric=metric)
+        approx = COARSE_APPROX and state["centroids"].shape[0] >= 4 * nprobe
+        coarse_sim, probe_lists = flat_search(
+            state["centroids"], xq, nprobe, metric=metric, approx=approx, recall_target=0.99
+        )
         probe_bias = coarse_sim  # ip/cosine: distances ARE similarities
     do_rescore = rescore is not None and metric != "l2"
     k_probe = max(k, rescore) if do_rescore else k
@@ -647,6 +700,7 @@ def ivf_search_pallas(
         probe_bias=probe_bias,
         packed_ok=do_rescore,
         bl=bl,
+        spilled=float(meta.get("spill_frac", 0.0) or 0.0) > 0.0,
     )
     if do_rescore:
         from lotus_tpu.ops.ivf import rescore_candidates

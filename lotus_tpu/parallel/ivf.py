@@ -307,6 +307,11 @@ def sharded_ivf_search_pallas(
     residual = meta.get("encoding") == "residual_int8" and sharded["vecs"].dtype == jnp.int8
     do_rescore = rescore is not None and metric != "l2" and "row_list" in sharded
     k_probe = max(k, rescore) if do_rescore else k
+    # Unspilled stores hold each row in exactly one list (hence one shard):
+    # both the shard-local pool and the cross-shard merge are duplicate-free
+    # by construction, so the dedup passes are skipped (same fast path as
+    # the single-device probe).
+    spilled = float(meta.get("spill_frac", 0.0) or 0.0) > 0.0
 
     def local_probe(vecs, row_ids, list_start, owned, xq_rep, *extra):
         vecs, row_ids, list_start, owned = vecs[0], row_ids[0], list_start[0], owned[0]
@@ -331,6 +336,7 @@ def sharded_ivf_search_pallas(
             return_rows=do_rescore,
             packed_ok=do_rescore,
             bl=bl,
+            spilled=spilled,
         )
         if do_rescore:
             probe_s, probe_ids, rows = probed
@@ -352,6 +358,9 @@ def sharded_ivf_search_pallas(
         all_i = jax.lax.all_gather(top_ids, axis_name, axis=0)
         cand_s = jnp.moveaxis(all_s, 0, 1).reshape(b, n_dev * k)
         cand_i = jnp.moveaxis(all_i, 0, 1).reshape(b, n_dev * k)
+        if not spilled:  # duplicate-free across shards: plain k-way merge
+            merged_s, pos2 = jax.lax.top_k(cand_s, k)
+            return merged_s, jnp.take_along_axis(cand_i, pos2, axis=1)
         # The merge is score-sorted first so dedup keeps each id's best copy
         # (spilled rows can surface from two shards).
         merged_s, pos2 = jax.lax.top_k(cand_s, min(2 * k, n_dev * k))

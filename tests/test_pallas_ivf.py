@@ -413,3 +413,38 @@ def test_probe_adapts_to_store_block_alignment(tmp_path):
 
     np.testing.assert_array_equal(results[512][1], results[1024][1])
     np.testing.assert_allclose(results[512][0], results[1024][0], rtol=1e-5)
+
+
+def test_spilled_store_dedup_through_pallas_probe(tmp_path):
+    """A spilled (SOAR-replicated) store must keep the 2k-headroom + dedup
+    path: results are duplicate-free and match the window probe's, while an
+    unspilled build of the same corpus takes the fast path (no dedup) and
+    still agrees.  Guards the ``spilled`` static flag wiring."""
+    rng = np.random.default_rng(33)
+    n, d, k = 8192, 32, 8
+    centers = rng.standard_normal((8, d)).astype(np.float32)
+    emb = centers[rng.integers(0, 8, n)] + 0.3 * rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    queries = jnp.asarray(emb[:6] + 0.01 * rng.standard_normal((6, d)).astype(np.float32))
+
+    got = {}
+    for label, spill in (("spilled", 0.2), ("plain", 0.0)):
+        idx_dir = str(tmp_path / label)
+        meta = {"kind": "ivf", "metric": "ip",
+                **build_ivf(idx_dir, emb, nlist=8, metric="ip", block_align=BL,
+                            spill_frac=spill)}
+        state = load_ivf_state(idx_dir, meta, jnp.float32)
+        state["meta"] = meta
+        assert (float(meta["spill_frac"]) > 0) == (spill > 0)
+        _, i_pl = ivf_search_pallas(state, queries, k, nprobe=8, metric="ip", interpret=True)
+        i_pl = np.asarray(i_pl)
+        for row in i_pl:  # duplicate-free under replication
+            live = [v for v in row if v >= 0]
+            assert len(live) == len(set(live))
+        got[label] = i_pl
+        _, i_ref = ivf_search(state, queries, k, nprobe=8, metric="ip")
+        # Full probe (nprobe = nlist): guaranteed-top-1 agreement and high
+        # set overlap vs the window probe on the same store.
+        assert (i_pl[:, 0] == np.asarray(i_ref)[:, 0]).all()
+    # Spill only ever ADDS candidate routes; both stores agree on top-1.
+    assert (got["spilled"][:, 0] == got["plain"][:, 0]).all()

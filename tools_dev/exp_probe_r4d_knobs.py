@@ -1,0 +1,63 @@
+"""Round-4d: attack the two sort-shaped stages the attribution exposed
+(coarse exact top_k(nprobe) ~16 ms, pool top-k inside reassembly) with
+approx_max_k, then try block_align=2048 (halved grid steps again).
+
+Stages at nprobe=208/rescore=24 (exp_probe_where208, 2026-08-19): coarse
+18.5 / grouping 21.1 / layout 14.9 / tables 4.8 / kernel 42.0 /
+reassembly+topk 39.0 / rescore 23.8 ms.
+"""
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp
+import numpy as np
+
+import lotus_tpu.ops.pallas_ivf as pivf
+from lotus_tpu.ops.bench_data import synth_ivf_device_build
+from lotus_tpu.ops.common import fetch_int32
+
+say = lambda m: print(m, flush=True)  # noqa: E731
+K = 10
+
+
+def point(state, xq_dev, gt, label, nprobe=208, rescore=24):
+    def search(q):
+        return pivf.ivf_search_pallas(
+            state, q, K, nprobe=nprobe, metric="ip", rescore=rescore,
+            int8_queries=True, query_chunk=2048,
+        )
+
+    d_, i_ = search(xq_dev)
+    got = fetch_int32(i_)[: gt.shape[0]]
+    rec = float(np.mean([len(set(got[i]) & set(gt[i])) / K for i in range(gt.shape[0])]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        q = xq_dev
+        for _ in range(3):
+            dd, _ = search(q)
+            q = xq_dev + 0.0 * dd[:, :1]
+        float(np.asarray(dd[0, 0]))
+        best = min(best, (time.perf_counter() - t0) / 3)
+    say(f"{label}: {xq_dev.shape[0] / best:,.0f} QPS, recall@10={rec:.4f}")
+
+
+def build(block_align):
+    built = synth_ivf_device_build(
+        n=10 * 2**20, d=768, nlist=4096, n_clusters=65536, chunk=2**18,
+        queries_b=4096, gt_queries=256, k=K, seed=0, block_align=block_align,
+        log=lambda m: None,
+    )
+    say(f"build(bl={block_align}): {built['build_vecs_per_s']:,.0f} vecs/s")
+    return built["state"], jnp.asarray(built["queries"], jnp.float32), built["gt"]
+
+
+state, xq_dev, gt = build(1024)
+for at, ca in ((False, False), (True, False), (False, True), (True, True)):
+    pivf.APPROX_TOPK, pivf.COARSE_APPROX = at, ca
+    jax.clear_caches()
+    point(state, xq_dev, gt, f"bl=1024 approx_topk={at} coarse_approx={ca}")
+

@@ -43,6 +43,10 @@ def __getattr__(name: str):
         from lotus_tpu.models.flax_rm import JaxSentenceEncoderRM
 
         return JaxSentenceEncoderRM
+    if name == "JaxCrossEncoderReranker":
+        from lotus_tpu.models.flax_reranker import JaxCrossEncoderReranker
+
+        return JaxCrossEncoderReranker
     if name == "CrossEncoderReranker":
         from lotus_tpu.models.cross_encoder_reranker import CrossEncoderReranker
 

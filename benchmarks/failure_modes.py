@@ -121,6 +121,12 @@ def load_data() -> tuple[pd.DataFrame, pd.DataFrame]:
     return train, test
 
 
+def _parse_modes_column(d: pd.DataFrame) -> pd.Series:
+    # Module-level (not a lambda) so the optimized pipeline pickles into a
+    # shippable benchmarks/artifacts/ file.
+    return d["_failure_modes"].map(parse_failure_modes)
+
+
 def build_pipeline(cascade_args: Any = None) -> LazyFrame:
     lf = (
         LazyFrame()
@@ -131,7 +137,7 @@ def build_pipeline(cascade_args: Any = None) -> LazyFrame:
             "(not trace specific). Only output the list, no other text.",
             suffix="_failure_modes",
         )
-        .assign(failure_modes=lambda d: d["_failure_modes"].map(parse_failure_modes))
+        .assign(failure_modes=_parse_modes_column)
         .explode("failure_modes")
     )
     return lf

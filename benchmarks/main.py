@@ -25,6 +25,16 @@ def _print(metrics: dict, prefix: str = "  ") -> None:
             print(f"{prefix}{key}: {value}")
 
 
+def artifact_path(name: str) -> str:
+    """Shipped optimized-pipeline artifact for an LM-protocol suite
+    (reference ships ``benchmarks/*/optimized_pipeline.pkl`` the same way,
+    e.g. ``/root/reference/benchmarks/llm_as_judge/optimized_pipeline.pkl``)."""
+    import os
+
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "artifacts", f"{name}_optimized_pipeline.pkl")
+
+
 def run(name: str, **kwargs) -> None:
     import benchmarks
 
@@ -48,8 +58,19 @@ def run(name: str, **kwargs) -> None:
     print("\nBaseline:")
     _print(bm.evaluate(result, test_df, oracle_lm, helper_lm))
 
-    eval_fn = bm.make_eval_fn(train_df)
-    optimized = bm.optimize_pipeline(baseline, train_df, eval_fn, kwargs.get("max_metric_calls") or 50)
+    if kwargs.get("from_artifact"):
+        # Reproduce the optimized re-eval from the shipped artifact — no
+        # training run (mirrors the reference's optimized_pipeline.pkl).
+        from lotus_tpu.ast import LazyFrame
+
+        optimized = LazyFrame.load(artifact_path(name))
+        print(f"\nLoaded optimized pipeline from {artifact_path(name)}")
+    else:
+        eval_fn = bm.make_eval_fn(train_df)
+        optimized = bm.optimize_pipeline(baseline, train_df, eval_fn, kwargs.get("max_metric_calls") or 50)
+        if kwargs.get("save_artifact"):
+            optimized.save(artifact_path(name))
+            print(f"\nSaved optimized pipeline to {artifact_path(name)}")
     oracle_lm.reset_stats()
     result = optimized.execute(test_df)
     print("\nOptimized:")
@@ -68,6 +89,11 @@ if __name__ == "__main__":
     parser.add_argument("--max-metric-calls", type=int, default=50)
     parser.add_argument("--spec", action="store_true",
                         help="run the suite at its BASELINE.md config scale")
+    parser.add_argument("--save-artifact", action="store_true",
+                        help="save the optimized pipeline to benchmarks/artifacts/")
+    parser.add_argument("--from-artifact", action="store_true",
+                        help="skip optimization; re-eval the shipped optimized pipeline")
     args = parser.parse_args()
     run(args.benchmark, n=args.n, d=args.d, b=args.b, k=args.k,
-        spec=args.spec or None, max_metric_calls=args.max_metric_calls)
+        spec=args.spec or None, max_metric_calls=args.max_metric_calls,
+        save_artifact=args.save_artifact, from_artifact=args.from_artifact)

@@ -69,6 +69,7 @@ class TpuVS(VS):
         scan: str = "auto",
         int8_queries: Optional[bool] = None,
         query_chunk: int = 2048,
+        recall_target: Optional[float] = None,
     ) -> None:
         super().__init__()
         if index_type not in ("flat", "ivf"):
@@ -110,6 +111,11 @@ class TpuVS(VS):
         # candidate-pool memory AND keeps full MXU lane occupancy (2048 is
         # the measured optimum at B=4096/nprobe=256; 4096 fails to compile).
         self.query_chunk = query_chunk
+        # IVF recall target: when set, the store calibrates nprobe against
+        # a full-probe oracle on first use (or reuses a calibration
+        # persisted in meta.json) instead of serving the raw ``nprobe``.
+        # See ops/autotune.py and calibrate_nprobe().
+        self.recall_target = recall_target
         self.index_dir: str | None = None
         # Device-resident state for the currently loaded index.
         self._state: dict[str, Any] | None = None
@@ -385,6 +391,142 @@ class TpuVS(VS):
         return dists, hit_ids
 
     # ----------------------------------------------------------------- search
+    # ----------------------------------------------------------- IVF probing
+    def _probe_ivf(
+        self,
+        state: dict[str, Any],
+        xq: Any,
+        k_eff: int,
+        nprobe: int,
+        *,
+        use_pallas: bool,
+        rescore: Optional[int],
+        int8_queries: Optional[bool],
+        query_chunk: Optional[int],
+    ) -> tuple[Any, Any]:
+        """Run one IVF probe on the serving path (Pallas grouped probe or
+        window probe; sharded when the state carries shards)."""
+        meta = state["meta"]
+        if use_pallas:
+            int8_q = int8_queries
+            if "ivf_sharded" in state:
+                from lotus_tpu.parallel import sharded_ivf_search_pallas
+
+                if int8_q is None:  # auto: int8 shards + rescoring active
+                    int8_q = bool(
+                        state["ivf_sharded"]["vecs"].dtype == jnp.int8
+                        and rescore
+                        and not self._pallas_interpret
+                    )
+                return sharded_ivf_search_pallas(
+                    state["ivf_sharded"], jnp.asarray(xq), k_eff, nprobe=nprobe,
+                    metric=meta["metric"], interpret=self._pallas_interpret,
+                    rescore=rescore, int8_queries=int8_q,
+                    query_chunk=query_chunk,
+                )
+            from lotus_tpu.ops.pallas_ivf import ivf_search_pallas
+
+            if int8_q is None:  # auto: int8 store + rescoring active
+                int8_q = bool(
+                    state.get("ivf_vectors") is not None
+                    and state["ivf_vectors"].dtype == jnp.int8
+                    and rescore
+                    and not self._pallas_interpret
+                )
+            return ivf_search_pallas(
+                state, jnp.asarray(xq), k_eff, nprobe=nprobe,
+                metric=meta["metric"], interpret=self._pallas_interpret,
+                rescore=rescore, int8_queries=int8_q,
+                query_chunk=query_chunk,
+            )
+        if "ivf_sharded" in state:
+            from lotus_tpu.parallel import sharded_ivf_search
+
+            return sharded_ivf_search(
+                state["ivf_sharded"], jnp.asarray(xq), k_eff, nprobe=nprobe,
+                metric=meta["metric"], rescore=rescore,
+            )
+        from lotus_tpu.ops.ivf import ivf_search
+
+        return ivf_search(
+            state, jnp.asarray(xq), k_eff, nprobe=nprobe, metric=meta["metric"],
+            rescore=rescore,
+        )
+
+    def _pallas_eligible(self, meta: dict[str, Any]) -> bool:
+        return int(meta.get("block_align", 0)) >= 512 and (
+            jax.default_backend() == "tpu" or self._pallas_interpret
+        )
+
+    def calibrate_nprobe(
+        self,
+        recall_target: Optional[float] = None,
+        *,
+        k: int = 10,
+        nq: int = 256,
+        seed: int = 0,
+        persist: bool = True,
+        ladder: Optional[list[int]] = None,
+    ) -> dict[str, Any]:
+        """Calibrate nprobe for a recall@k target and adopt it.
+
+        Samples ``nq`` stored rows as stand-in queries, ranks them with a
+        FULL probe (nprobe = nlist) as the oracle, and walks an nprobe
+        ladder on the store's actual serving path (see ops/autotune.py).
+        The result is persisted into the index's ``meta.json``
+        (``"calibration"``) so later loads skip the measurement, and
+        ``self.nprobe`` is set to the chosen value.
+
+        The reference leaves this trade-off entirely to the user (faiss
+        ``nprobe`` is a raw knob, ``lotus/vector_store/faiss_vs.py``).
+        """
+        from lotus_tpu.ops import autotune
+
+        state = self._materialize()
+        meta = state["meta"]
+        if meta["kind"] != "ivf":
+            raise ValueError("calibrate_nprobe requires an IVF index")
+        target = self.recall_target if recall_target is None else float(recall_target)
+        if target is None:
+            raise ValueError("pass recall_target= (or construct TpuVS with one)")
+        key = f"{target:g}@{int(k)}"
+        cal = dict(meta.get("calibration") or {})
+        if key in cal:
+            self.nprobe = int(cal[key]["nprobe"])
+            return cal[key]
+
+        n = state["n_rows"]
+        rng = np.random.default_rng(seed)
+        sample = np.sort(rng.choice(n, size=min(nq, n), replace=False))
+        xq = np.asarray(
+            self.get_vectors_from_index(self.index_dir, [int(i) for i in sample]),
+            dtype=np.float32,
+        )
+        use_pallas = self._pallas_eligible(meta)
+
+        def search_fn(q: np.ndarray, kk: int, nprobe: int) -> np.ndarray:
+            _, idx = self._probe_ivf(
+                state, np.asarray(q, np.float32), kk, nprobe,
+                use_pallas=use_pallas, rescore=self.rescore,
+                int8_queries=self.int8_queries, query_chunk=self.query_chunk,
+            )
+            return np.asarray(idx)
+
+        result = autotune.calibrate_nprobe(
+            search_fn, xq, nlist=int(meta["nlist"]), recall_target=target,
+            k=k, ladder=ladder,
+        )
+        cal[key] = result
+        meta["calibration"] = cal
+        if persist and self.index_dir is not None:
+            # Persist onto the on-disk manifest (not the runtime meta, which
+            # load_ivf_state may have annotated), so reloads skip the run.
+            disk_meta = index_io.read_meta(self.index_dir)
+            disk_meta["calibration"] = {**(disk_meta.get("calibration") or {}), key: result}
+            index_io.write_meta(self.index_dir, disk_meta)
+        self.nprobe = int(result["nprobe"])
+        return result
+
     def __call__(
         self,
         query_vectors: NDArray[np.float64],
@@ -431,69 +573,25 @@ class TpuVS(VS):
             return self._finish_output(dists, idx, xq, k_eff, K, ids, t_start)
 
         use_ivf = meta["kind"] == "ivf" and ids is None
+        if use_ivf and self.recall_target is not None and "nprobe" not in kwargs:
+            # Lazy autotune: first search calibrates (or reuses the entry
+            # persisted in meta.json) and pins self.nprobe to the target.
+            self.calibrate_nprobe(self.recall_target, k=k_eff)
         use_pallas = False
         if use_ivf:
             nlist = int(meta.get("nlist", 1))
             nprobe_planned = int(kwargs.get("nprobe", self.nprobe))
             if xq.shape[0] * max(nprobe_planned, 1) >= nlist:
                 use_ivf = False
-                use_pallas = (
-                    int(meta.get("block_align", 0)) >= 512
-                    and (jax.default_backend() == "tpu" or self._pallas_interpret)
-                )
-        if use_pallas:
+                use_pallas = self._pallas_eligible(meta)
+        if use_pallas or use_ivf:
             nprobe = int(kwargs.get("nprobe", self.nprobe))
-            if "ivf_sharded" in state:
-                from lotus_tpu.parallel import sharded_ivf_search_pallas
-
-                rescore = kwargs.get("rescore", self.rescore)
-                int8_q = kwargs.get("int8_queries", self.int8_queries)
-                if int8_q is None:  # auto: int8 shards + rescoring active
-                    int8_q = bool(
-                        state["ivf_sharded"]["vecs"].dtype == jnp.int8
-                        and rescore
-                        and not self._pallas_interpret
-                    )
-                dists, idx = sharded_ivf_search_pallas(
-                    state["ivf_sharded"], jnp.asarray(xq), k_eff, nprobe=nprobe,
-                    metric=meta["metric"], interpret=self._pallas_interpret,
-                    rescore=rescore, int8_queries=int8_q,
-                    query_chunk=kwargs.get("query_chunk", self.query_chunk),
-                )
-            else:
-                from lotus_tpu.ops.pallas_ivf import ivf_search_pallas
-
-                rescore = kwargs.get("rescore", self.rescore)
-                int8_q = kwargs.get("int8_queries", self.int8_queries)
-                if int8_q is None:  # auto: int8 store + rescoring active
-                    int8_q = bool(
-                        state.get("ivf_vectors") is not None
-                        and state["ivf_vectors"].dtype == jnp.int8
-                        and rescore
-                        and not self._pallas_interpret
-                    )
-                dists, idx = ivf_search_pallas(
-                    state, jnp.asarray(xq), k_eff, nprobe=nprobe,
-                    metric=meta["metric"], interpret=self._pallas_interpret,
-                    rescore=rescore, int8_queries=int8_q,
-                    query_chunk=kwargs.get("query_chunk", self.query_chunk),
-                )
-        elif use_ivf:
-            nprobe = int(kwargs.get("nprobe", self.nprobe))
-            if "ivf_sharded" in state:
-                from lotus_tpu.parallel import sharded_ivf_search
-
-                dists, idx = sharded_ivf_search(
-                    state["ivf_sharded"], jnp.asarray(xq), k_eff, nprobe=nprobe,
-                    metric=meta["metric"], rescore=kwargs.get("rescore", self.rescore),
-                )
-            else:
-                from lotus_tpu.ops.ivf import ivf_search
-
-                dists, idx = ivf_search(
-                    state, jnp.asarray(xq), k_eff, nprobe=nprobe, metric=meta["metric"],
-                    rescore=kwargs.get("rescore", self.rescore),
-                )
+            dists, idx = self._probe_ivf(
+                state, xq, k_eff, nprobe, use_pallas=use_pallas,
+                rescore=kwargs.get("rescore", self.rescore),
+                int8_queries=kwargs.get("int8_queries", self.int8_queries),
+                query_chunk=kwargs.get("query_chunk", self.query_chunk),
+            )
         else:
             # Exhaustive scan path (flat indexes, ids-restricted searches,
             # and the large-batch IVF regime). Materialized lazily for IVF.

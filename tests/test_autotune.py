@@ -1,0 +1,126 @@
+"""Recall-target autotuning: ops/autotune ladder math and the TpuVS
+calibrate/persist/reuse lifecycle (CPU, window probe).
+
+The reference has no counterpart — faiss nprobe is a raw user knob
+(`lotus/vector_store/faiss_vs.py`); this is an engine addition.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lotus_tpu.ops import autotune
+from lotus_tpu.vector_store import TpuVS
+
+
+def test_nprobe_ladder_shape():
+    lad = autotune.nprobe_ladder(64)
+    assert lad[0] == 1 and lad[-1] == 64
+    assert all(b > a for a, b in zip(lad, lad[1:]))
+    # ~1.5x steps: no jump more than doubles
+    assert all(b <= 2 * a for a, b in zip(lad, lad[1:]))
+
+
+def test_recall_at_k_ignores_padding():
+    got = np.array([[1, 2, -1], [7, 8, 9]])
+    want = np.array([[1, 3, -1], [7, 8, 9]])
+    # Row 0: hits {1} of want {1, 3} -> 1/3 under k=3; row 1: 3/3.
+    assert autotune.recall_at_k(got, want, 3) == pytest.approx((1 / 3 + 1.0) / 2)
+
+
+def test_calibrate_picks_smallest_sufficient_nprobe():
+    # Synthetic monotone search: nprobe p reveals the first p "true" ids.
+    want = np.tile(np.arange(10), (4, 1))
+
+    def search_fn(xq, k, nprobe):
+        out = np.full((4, k), -1)
+        out[:, : min(nprobe, k)] = want[:, : min(nprobe, k)]
+        return out
+
+    res = autotune.calibrate_nprobe(
+        search_fn, np.zeros((4, 8), np.float32), nlist=64, recall_target=0.55, k=10
+    )
+    # Ladder 1,2,3,4,6,8,... -> 6 is the first with recall 0.6 >= 0.55.
+    assert res["nprobe"] == 6
+    assert res["recall"] == pytest.approx(0.6)
+    assert res["ladder"][-1][0] == 6
+
+
+def test_calibrate_falls_back_to_full_probe():
+    def search_fn(xq, k, nprobe):
+        if nprobe >= 64:  # only the full probe finds anything
+            return np.tile(np.arange(k), (2, 1))
+        return np.full((2, k), -1)
+
+    res = autotune.calibrate_nprobe(
+        search_fn, np.zeros((2, 8), np.float32), nlist=64, recall_target=0.99, k=5
+    )
+    assert res["nprobe"] == 64
+    assert res["recall"] == 1.0
+
+
+@pytest.fixture
+def clustered(tmp_path):
+    rng = np.random.default_rng(5)
+    centers = rng.standard_normal((16, 48)).astype(np.float32)
+    emb = centers[rng.integers(0, 16, 3000)] + 0.15 * rng.standard_normal(
+        (3000, 48)
+    ).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    d = str(tmp_path / "ivf")
+    vs = TpuVS(index_type="ivf", nlist=16, nprobe=1)
+    vs.index([], emb, d)
+    return vs, emb, d
+
+
+def test_tpu_vs_calibrate_and_persist(clustered):
+    vs, emb, d = clustered
+    res = vs.calibrate_nprobe(0.95, k=10, nq=64)
+    assert 1 <= res["nprobe"] <= 16
+    assert res["recall"] >= 0.95
+    assert vs.nprobe == res["nprobe"]
+    # On clustered data a partial probe must suffice.
+    assert res["nprobe"] < 16
+
+    # Persisted into meta.json.
+    with open(os.path.join(d, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["calibration"]["0.95@10"]["nprobe"] == res["nprobe"]
+
+    # The calibrated store actually delivers the target recall on real
+    # perturbed queries (vs the exhaustive oracle).
+    rng = np.random.default_rng(7)
+    q = emb[rng.integers(0, len(emb), 32)] + 0.02 * rng.standard_normal(
+        (32, 48)
+    ).astype(np.float32)
+    got = np.asarray(vs(q, 10).indices)
+    ref = np.argsort(-(q @ emb.T), axis=1)[:, :10]
+    recall = np.mean([len(set(got[i]) & set(ref[i])) / 10 for i in range(32)])
+    assert recall >= 0.9
+
+
+def test_recall_target_reuses_persisted_calibration(clustered, monkeypatch):
+    vs, emb, d = clustered
+    first = vs.calibrate_nprobe(0.95, k=10, nq=64)
+
+    # A fresh store with recall_target set must adopt the persisted entry
+    # without re-measuring (the ladder search would call ops/autotune).
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("calibration should have been reused from meta.json")
+
+    monkeypatch.setattr(autotune, "calibrate_nprobe", boom)
+    vs2 = TpuVS(index_type="ivf", nlist=16, recall_target=0.95)
+    vs2.load_index(d)
+    out = vs2(emb[:4], 10)
+    assert np.asarray(out.indices).shape == (4, 10)
+    assert vs2.nprobe == first["nprobe"]
+
+
+def test_calibrate_requires_ivf(tmp_path):
+    emb = np.eye(8, 32, dtype=np.float32)
+    vs = TpuVS()
+    vs.index([], emb, str(tmp_path / "flat"))
+    with pytest.raises(ValueError, match="IVF"):
+        vs.calibrate_nprobe(0.9)

@@ -124,3 +124,31 @@ def test_calibrate_requires_ivf(tmp_path):
     vs.index([], emb, str(tmp_path / "flat"))
     with pytest.raises(ValueError, match="IVF"):
         vs.calibrate_nprobe(0.9)
+
+
+def test_calibrate_on_sharded_store(tmp_path):
+    """Autotune must work on a mesh-sharded store (config-5 deployments):
+    the ladder probes ride the sharded path and the chosen point persists."""
+    import jax
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    from lotus_tpu.parallel import default_mesh
+
+    rng = np.random.default_rng(3)
+    centers = rng.standard_normal((16, 32)).astype(np.float32)
+    emb = centers[rng.integers(0, 16, 4096)] + 0.15 * rng.standard_normal(
+        (4096, 32)
+    ).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    d = str(tmp_path / "sh")
+    mesh = default_mesh()
+    vs = TpuVS(index_type="ivf", nlist=16, nprobe=1, mesh=mesh)
+    vs.index([], emb, d)
+
+    res = vs.calibrate_nprobe(0.95, k=10, nq=64)
+    assert res["recall"] >= 0.95
+    assert 1 <= res["nprobe"] < 16
+    assert vs.nprobe == res["nprobe"]
+    with open(os.path.join(d, "meta.json")) as f:
+        assert "calibration" in json.load(f)

@@ -144,3 +144,41 @@ def test_sem_map_cot_strategy_explanations():
     out = df.sem_map("{text}", strategy=ReasoningStrategy.ZS_COT, return_explanations=True)
     assert out["_map"].iloc[0] == "DONE"
     assert out["explanation_map"].iloc[0] == "because reasons"
+
+
+def _deepseek_lm(answer_fn):
+    """Fake LM whose model name dispatches the DeepSeek <think> postprocessor
+    (mirrors the reference's deepseek_cot_tests: the reasoning block must be
+    stripped into the explanation and never leak into answers)."""
+    from lotus_tpu.models.fake import FakeTransport
+    from lotus_tpu.models.lm import LM
+
+    return LM(model="ollama/deepseek-r1:7b", transport=FakeTransport(responder=answer_fn))
+
+
+def test_deepseek_think_block_map():
+    def responder(prompt, messages, **kw):
+        return "<think>chain of thought here</think>\nAnswer: POEM"
+
+    lotus_tpu.settings.configure(lm=_deepseek_lm(responder))
+    df = pd.DataFrame({"text": ["write me a poem"]})
+    out = df.sem_map("{text}", strategy=ReasoningStrategy.ZS_COT, return_explanations=True)
+    assert out["_map"].iloc[0] == "POEM"
+    assert "chain of thought" in out["explanation_map"].iloc[0]
+    assert "<think>" not in out["_map"].iloc[0]
+
+
+def test_deepseek_think_block_filter():
+    def responder(prompt, messages, **kw):
+        text = str(messages)
+        verdict = "True" if "sports" in text and "basketball" in text else "False"
+        return f"<think>weighing the evidence</think>\nAnswer: {verdict}"
+
+    lotus_tpu.settings.configure(lm=_deepseek_lm(responder))
+    df = pd.DataFrame({"text": ["basketball is sports", "a cooking show"]})
+    out = df.sem_filter(
+        "{text} is about sports", strategy=ReasoningStrategy.ZS_COT,
+        return_explanations=True,
+    )
+    assert list(out["text"]) == ["basketball is sports"]
+    assert "weighing the evidence" in out["explanation_filter"].iloc[0]

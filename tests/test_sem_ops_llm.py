@@ -402,3 +402,35 @@ def test_fewshot_filter_coerces_bool_answers():
     out = df.sem_filter("{text} is an animal", examples=shots)
     assert "a dog" in prompts[0] and "True" in prompts[0]
     assert out["text"].tolist() == ["a cat"]
+
+
+def test_sem_join_multimodal_image_side():
+    """An ImageDtype column can sit on either side of sem_join: the
+    cartesian prompt payload must carry the image as an image_url part
+    next to the right row's text (reference multimodality_tests
+    test_join_operation)."""
+    from PIL import Image
+
+    from lotus_tpu.dtype_extensions import ImageArray, ImageDtype
+
+    seen = []
+
+    def responder(prompt, messages, **kw):
+        seen.append(messages)
+        return "True" if "blue" in str(messages) else "False"
+
+    lotus_tpu.settings.configure(lm=make_fake_lm(responder=responder))
+    img_blue = Image.new("RGB", (4, 4), (0, 0, 255))
+    img_red = Image.new("RGB", (4, 4), (255, 0, 0))
+    left = pd.DataFrame(
+        {"pic": pd.array(ImageArray([img_blue, img_red]), dtype=ImageDtype())}
+    )
+    right = pd.DataFrame({"color": ["blue", "green"]})
+    out = left.sem_join(right, "{pic:left} shows the color {color:right}")
+    # 4 pairs evaluated, each with an image part in the user payload.
+    assert len(seen) == 4
+    for messages in seen:
+        user = [m for m in messages if m["role"] == "user"][0]
+        parts = user["content"]
+        assert any(p.get("type") == "image_url" for p in parts)
+    assert list(out["color"]) == ["blue", "blue"]  # fake keeps 'blue' rows

@@ -280,3 +280,60 @@ def test_predicate_pushdown_blocked_by_non_filter_node():
     kinds = [type(n).__name__ for n in lf.optimize()._nodes]
     # Hoisted past the sem_filter but stopped at the map.
     assert kinds.index("SemMapNode") < kinds.index("PandasFilterNode") < kinds.index("SemFilterNode")
+
+
+def test_helper_instruction_target_gated_on_proxy_model():
+    """The cascade helper-instruction is an optimizer target only when the
+    cascade actually uses a helper LM (reference gepa tests:
+    filter_helper_instruction_target_{enabled,not_enabled})."""
+    from lotus_tpu.ast.optimizer.prompt_optimizer import collect_targets
+    from lotus_tpu.types import CascadeArgs, ProxyModel
+
+    helper = LazyFrame().sem_filter(
+        "{text} ok", cascade_args=CascadeArgs(proxy_model=ProxyModel.HELPER_LM)
+    )
+    params = {t.param for t in collect_targets(helper._nodes)}
+    assert "cascade_args.helper_filter_instruction" in params
+
+    embed = LazyFrame().sem_filter(
+        "{text} ok", cascade_args=CascadeArgs(proxy_model=ProxyModel.EMBEDDING_MODEL)
+    )
+    params = {t.param for t in collect_targets(embed._nodes)}
+    assert "cascade_args.helper_filter_instruction" not in params
+    assert "user_instruction" in params
+
+    plain = LazyFrame().sem_filter("{text} ok")  # no cascade at all
+    params = {t.param for t in collect_targets(plain._nodes)}
+    assert "cascade_args.helper_filter_instruction" not in params
+
+
+def test_helper_instruction_explicit_override_resolves():
+    """An explicit helper_filter_instruction is what the optimizer sees and
+    mutates; without one, the target falls back to the user instruction."""
+    from lotus_tpu.ast.optimizer.prompt_optimizer import collect_targets
+    from lotus_tpu.types import CascadeArgs, ProxyModel
+
+    lf = LazyFrame().sem_filter(
+        "{text} ok",
+        cascade_args=CascadeArgs(
+            proxy_model=ProxyModel.HELPER_LM,
+            helper_filter_instruction="helper view of {text}",
+        ),
+    )
+    node = lf._nodes[1]
+    assert node.resolve_optimizable_param_value(
+        "cascade_args.helper_filter_instruction"
+    ) == "helper view of {text}"
+    node2 = node.apply_optimizable_param_value(
+        "cascade_args.helper_filter_instruction", "evolved {text}"
+    )
+    assert node2.cascade_args.helper_filter_instruction == "evolved {text}"
+    # The oracle instruction is untouched.
+    assert node2.user_instruction == "{text} ok"
+
+    bare = LazyFrame().sem_filter(
+        "{text} ok", cascade_args=CascadeArgs(proxy_model=ProxyModel.HELPER_LM)
+    )
+    assert bare._nodes[1].resolve_optimizable_param_value(
+        "cascade_args.helper_filter_instruction"
+    ) == "{text} ok"

@@ -227,17 +227,28 @@ class ShardClient:
         if xq.ndim == 1:
             xq = xq[None, :]
         with self._lock:
-            conn = self._connect()
-            conn.sendall(
-                MAGIC
-                + bytes([OP_SEARCH])
-                + struct.pack("<III", xq.shape[0], xq.shape[1], k)
-                + xq.tobytes()
-            )
-            self._read_status(conn)
-            b, kk = struct.unpack("<II", _recv_exact(conn, 8))
-            dists = np.frombuffer(_recv_exact(conn, 4 * b * kk), dtype="<f4").reshape(b, kk)
-            ids = np.frombuffer(_recv_exact(conn, 8 * b * kk), dtype="<i8").reshape(b, kk)
+            try:
+                return self._search_once(xq, k)
+            except (ConnectionError, socket.timeout, OSError):
+                # Stale persistent connection (server restart, idle reset):
+                # each request is a self-contained frame on its own exchange,
+                # so one reconnect-and-resend is safe.  A second failure means
+                # the shard is really down — let it raise.
+                self.close()
+                return self._search_once(xq, k)
+
+    def _search_once(self, xq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+        conn = self._connect()
+        conn.sendall(
+            MAGIC
+            + bytes([OP_SEARCH])
+            + struct.pack("<III", xq.shape[0], xq.shape[1], k)
+            + xq.tobytes()
+        )
+        self._read_status(conn)
+        b, kk = struct.unpack("<II", _recv_exact(conn, 8))
+        dists = np.frombuffer(_recv_exact(conn, 4 * b * kk), dtype="<f4").reshape(b, kk)
+        ids = np.frombuffer(_recv_exact(conn, 8 * b * kk), dtype="<i8").reshape(b, kk)
         return dists.copy(), ids.copy()
 
     def close(self) -> None:
@@ -261,13 +272,44 @@ class SearchFrontEnd:
             raise ValueError("SearchFrontEnd needs at least one shard address")
         self.clients = [ShardClient(a) for a in addresses]
         self._pool = ThreadPoolExecutor(max_workers=len(self.clients))
+        # Addresses of shards that failed during the most recent
+        # allow_partial search (empty after a fully-served one).
+        self.last_failed_shards: list[tuple[str, int]] = []
 
-    def search(self, xq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    def search(
+        self, xq: np.ndarray, k: int, *, allow_partial: bool = False
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Fan out, merge.  A dead shard raises by default; with
+        ``allow_partial=True`` the live shards' merge is returned instead
+        and the casualties are recorded in ``last_failed_shards`` (the
+        caller OWNS the recall gap — a row-partitioned corpus is missing
+        that shard's rows entirely)."""
         xq = np.asarray(xq, dtype=np.float32)
         if xq.ndim == 1:
             xq = xq[None, :]
-        parts = list(self._pool.map(lambda c: c.search(xq, k), self.clients))
-        dists = np.stack([p[0] for p in parts], axis=1)  # (B, n_shards, k)
+
+        def one(c: ShardClient):
+            try:
+                return c.search(xq, k), None
+            except Exception as e:
+                if allow_partial:
+                    return None, (c.address, e)
+                raise
+
+        results = list(self._pool.map(one, self.clients))
+        parts = [r for r, _ in results if r is not None]
+        failures = [f for _, f in results if f is not None]
+        self.last_failed_shards = [addr for addr, _ in failures]
+        if not parts:
+            raise RuntimeError(
+                f"all {len(self.clients)} shards failed; first: {failures[0][1]}"
+            )
+        if failures:
+            lotus_tpu.logger.warning(
+                "serving %d/%d shards (failed: %s)",
+                len(parts), len(self.clients), self.last_failed_shards,
+            )
+        dists = np.stack([p[0] for p in parts], axis=1)  # (B, n_live, k)
         ids = np.stack([p[1] for p in parts], axis=1)
         return native.topk_merge_batch(dists, ids, k)
 

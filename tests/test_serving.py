@@ -150,3 +150,51 @@ def test_frontend_stats_aggregation(sharded):
     assert after["searches"] == before["searches"] + len(sharded)  # one per shard
     assert after["queries"] == before["queries"] + len(QUERIES) * len(sharded)
     assert len(after["shards"]) == len(sharded)
+
+
+def test_client_reconnects_after_stale_connection(sharded):
+    """A persistent connection killed underneath the client (server-side
+    reset, idle teardown) must be re-established transparently: each
+    request is a self-contained frame, so one resend is safe."""
+    client = ShardClient(sharded[0].address)
+    d1, i1 = client.search(QUERIES, K)
+    # Kill the socket underneath; the next search must reconnect, not raise.
+    assert client._conn is not None
+    client._conn.close()
+    d2, i2 = client.search(QUERIES, K)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+    client.close()
+
+
+def test_frontend_partial_serving_on_shard_death(sharded, tmp_path):
+    """A dead shard raises by default; allow_partial=True serves the live
+    shards' merge and records the casualty."""
+    half = N // 2
+    doomed = ShardServer(
+        vs_search_fn(_make_store(tmp_path, CORPUS[half:], "doomed"), id_offset=half)
+    ).start()
+    doomed_addr = doomed.address
+    fe = SearchFrontEnd([sharded[0].address, doomed_addr])
+    full_d, full_i = fe.search(QUERIES, K)
+    assert fe.last_failed_shards == []
+
+    doomed.stop()
+    with pytest.raises(Exception):
+        fe.search(QUERIES, K)
+
+    d, i = fe.search(QUERIES, K, allow_partial=True)
+    assert fe.last_failed_shards == [doomed_addr]
+    # Only shard-0 rows (< half) can appear now.
+    assert (i < half).all()
+    # Rows the live shard owns keep their scores from the full merge.
+    for row_full, row_part, drow in zip(full_i, i, d):
+        live = [x for x in row_full if x < half]
+        assert list(row_part[: len(live)])[: K // 2] == live[: K // 2]
+
+    # Once every shard is gone, partial serving has nothing to return.
+    fe2 = SearchFrontEnd([doomed_addr])
+    with pytest.raises(RuntimeError, match="all 1 shards failed"):
+        fe2.search(QUERIES, K, allow_partial=True)
+    fe.close()
+    fe2.close()

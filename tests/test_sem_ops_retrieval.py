@@ -167,3 +167,11 @@ def test_sem_dedup_exact_mode_matches_bruteforce_oracle(tmp_path):
     for members in comp_of.values():
         assert len(kept & members) == 1, (members, kept & members)
     assert len(out) == len(comp_of)
+
+
+def test_sem_search_empty_filtered_df(df):
+    """Search over an emptied (filtered) DataFrame returns zero rows
+    without error (reference test_filter.py::test_filtered_search_empty_result)."""
+    empty = df[df["title"] == "no such row"]
+    out = empty.sem_search("title", "anything", K=2)
+    assert len(out) == 0

@@ -97,6 +97,11 @@ class ShardServer:
         self._stopping = threading.Event()
         self._thread: threading.Thread | None = None
         self._conn_threads: list[threading.Thread] = []
+        # Established connections, so stop() can terminate them: closing only
+        # the *listening* socket leaves persistent connections alive, and a
+        # "dead" shard would keep serving them.
+        self._conns: set[socket.socket] = set()
+        self._conns_lock = threading.Lock()
 
     @property
     def address(self) -> tuple[str, int]:
@@ -113,6 +118,22 @@ class ShardServer:
         if self._thread is not None:
             self._thread.join(timeout=5)
         self._sock.close()
+        # Terminate established connections too: per-connection threads block
+        # in _recv_exact and would otherwise serve one more request each on
+        # their persistent sockets after "death".
+        with self._conns_lock:
+            conns = list(self._conns)
+        for conn in conns:
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                conn.close()
+            except OSError:
+                pass
+        for t in self._conn_threads:
+            t.join(timeout=5)
 
     def __enter__(self) -> "ShardServer":
         return self.start()
@@ -129,16 +150,36 @@ class ShardServer:
                 continue
             except OSError:
                 break
+            with self._conns_lock:
+                if self._stopping.is_set():
+                    conn.close()
+                    break
+                self._conns.add(conn)
             t = threading.Thread(target=self._serve_conn, args=(conn,), daemon=True)
             t.start()
             self._conn_threads.append(t)
 
     def _serve_conn(self, conn: socket.socket) -> None:
+        try:
+            self._serve_conn_loop(conn)
+        finally:
+            with self._conns_lock:
+                self._conns.discard(conn)
+            try:
+                conn.close()
+            except OSError:
+                pass
+
+    def _serve_conn_loop(self, conn: socket.socket) -> None:
         with conn:
             while not self._stopping.is_set():
                 try:
                     head = _recv_exact(conn, 5)
                 except (ConnectionError, OSError):
+                    return
+                # A frame that arrived concurrently with stop(): a dead shard
+                # must not serve it (partial-serving contract).
+                if self._stopping.is_set():
                     return
                 try:
                     if head[:4] != MAGIC:
@@ -287,6 +328,10 @@ class SearchFrontEnd:
         xq = np.asarray(xq, dtype=np.float32)
         if xq.ndim == 1:
             xq = xq[None, :]
+        # Reset up front: in non-partial mode a shard failure propagates out
+        # of the fan-out below, and stale casualties from an earlier search
+        # would otherwise mislead callers inspecting this after catching.
+        self.last_failed_shards = []
 
         def one(c: ShardClient):
             try:

@@ -58,7 +58,7 @@ class TpuVS(VS):
         metric: str = "ip",
         device_dtype: str = "float32",
         nlist: Optional[int] = None,
-        nprobe: int = 32,
+        nprobe: Optional[int] = None,
         mesh: Optional[Any] = None,
         approx: bool = False,
         block_rows: int = DEFAULT_BLOCK_ROWS,
@@ -80,7 +80,10 @@ class TpuVS(VS):
         self.metric = metric
         self.device_dtype = device_dtype
         self.nlist = nlist
-        self.nprobe = nprobe
+        # None = "use the default (32) until autotune picks one"; an explicit
+        # value is respected — lazy calibration warns before repinning it.
+        self._nprobe_user_set = nprobe is not None
+        self.nprobe = 32 if nprobe is None else int(nprobe)
         self.mesh = mesh
         self.approx = approx
         self.block_rows = block_rows
@@ -458,6 +461,35 @@ class TpuVS(VS):
             jax.default_backend() == "tpu" or self._pallas_interpret
         )
 
+    def _exact_topk(self, xq: np.ndarray, k: int, metric: str) -> np.ndarray:
+        """Exact float32 top-k over the UNQUANTISED on-disk corpus.
+
+        Streams the mmap'd ``vectors`` array in row chunks and keeps a
+        running top-k on host — the ground truth for absolute-recall
+        calibration (cheap at calibration's nq<=256)."""
+        vecs = index_io.read_array(self.index_dir, "vectors")
+        n = vecs.shape[0]
+        nq = xq.shape[0]
+        k = min(k, n)
+        xq_dev = jnp.asarray(xq, dtype=jnp.float32)
+        best_s = np.full((nq, 0), 0.0, dtype=np.float32)
+        best_i = np.full((nq, 0), -1, dtype=np.int64)
+        chunk = 1 << 18
+        for start in range(0, n, chunk):
+            block = jnp.asarray(np.asarray(vecs[start : start + chunk]), dtype=jnp.float32)
+            scores = xq_dev @ block.T
+            if metric == "l2":  # argmin ||x-q||^2 == argmax (2 q.x - ||x||^2)
+                scores = 2.0 * scores - jnp.sum(jnp.square(block), axis=-1)[None, :]
+            scores = np.asarray(scores, dtype=np.float32)
+            ids = np.arange(start, start + scores.shape[1], dtype=np.int64)
+            cat_s = np.concatenate([best_s, scores], axis=1)
+            cat_i = np.concatenate([best_i, np.broadcast_to(ids, (nq, ids.size))], axis=1)
+            keep = np.argpartition(-cat_s, min(k, cat_s.shape[1] - 1), axis=1)[:, :k]
+            best_s = np.take_along_axis(cat_s, keep, axis=1)
+            best_i = np.take_along_axis(cat_i, keep, axis=1)
+        order = np.argsort(-best_s, axis=1)
+        return np.take_along_axis(best_i, order, axis=1)
+
     def calibrate_nprobe(
         self,
         recall_target: Optional[float] = None,
@@ -467,21 +499,35 @@ class TpuVS(VS):
         seed: int = 0,
         persist: bool = True,
         ladder: Optional[list[int]] = None,
+        oracle: str = "full_probe",
     ) -> dict[str, Any]:
         """Calibrate nprobe for a recall@k target and adopt it.
 
-        Samples ``nq`` stored rows as stand-in queries, ranks them with a
-        FULL probe (nprobe = nlist) as the oracle, and walks an nprobe
-        ladder on the store's actual serving path (see ops/autotune.py).
-        The result is persisted into the index's ``meta.json``
-        (``"calibration"``) so later loads skip the measurement, and
-        ``self.nprobe`` is set to the chosen value.
+        Samples ``nq`` stored rows as stand-in queries and walks an nprobe
+        ladder on EVERY probe path the store serves with — the Pallas
+        grouped probe (large batches) and the window probe (small batches)
+        when both apply; a ladder point must meet the target on each (see
+        ops/autotune.py).  The result is persisted into the index's
+        ``meta.json`` (``"calibration"``) so later loads skip the
+        measurement, and ``self.nprobe`` is set to the chosen value.
+
+        Args:
+            oracle: ``"full_probe"`` (default) measures recall RELATIVE to
+                the store's own best probe — quantization loss vs exact
+                float32 is NOT priced in.  ``"exact"`` ranks against an
+                exact float32 scan of the unquantised corpus, so the target
+                is ABSOLUTE recall; when the store's structural ceiling
+                (the full probe itself) is below the target, the result is
+                flagged ``target_unreachable`` and a warning is logged.
 
         The reference leaves this trade-off entirely to the user (faiss
         ``nprobe`` is a raw knob, ``lotus/vector_store/faiss_vs.py``).
         """
+        import lotus_tpu
         from lotus_tpu.ops import autotune
 
+        if oracle not in ("full_probe", "exact"):
+            raise ValueError(f"oracle must be 'full_probe' or 'exact', got {oracle!r}")
         state = self._materialize()
         meta = state["meta"]
         if meta["kind"] != "ivf":
@@ -489,10 +535,10 @@ class TpuVS(VS):
         target = self.recall_target if recall_target is None else float(recall_target)
         if target is None:
             raise ValueError("pass recall_target= (or construct TpuVS with one)")
-        key = f"{target:g}@{int(k)}"
+        key = f"{target:g}@{int(k)}" + ("" if oracle == "full_probe" else "/exact")
         cal = dict(meta.get("calibration") or {})
         if key in cal:
-            self.nprobe = int(cal[key]["nprobe"])
+            self._adopt_calibration(cal[key])
             return cal[key]
 
         n = state["n_rows"]
@@ -504,18 +550,50 @@ class TpuVS(VS):
         )
         use_pallas = self._pallas_eligible(meta)
 
-        def search_fn(q: np.ndarray, kk: int, nprobe: int) -> np.ndarray:
-            _, idx = self._probe_ivf(
-                state, np.asarray(q, np.float32), kk, nprobe,
-                use_pallas=use_pallas, rescore=self.rescore,
-                int8_queries=self.int8_queries, query_chunk=self.query_chunk,
-            )
-            return np.asarray(idx)
+        def probe_fn(use_pallas_path: bool, q_chunk: int | None):
+            def search_fn(q: np.ndarray, kk: int, nprobe: int) -> np.ndarray:
+                q = np.asarray(q, np.float32)
+                if q_chunk is None or q.shape[0] <= q_chunk:
+                    parts = [q]
+                else:  # bound the window probe's (b, nprobe, window) gather
+                    parts = np.array_split(q, -(-q.shape[0] // q_chunk))
+                out = []
+                for p in parts:
+                    _, idx = self._probe_ivf(
+                        state, p, kk, nprobe,
+                        use_pallas=use_pallas_path, rescore=self.rescore,
+                        int8_queries=self.int8_queries, query_chunk=self.query_chunk,
+                    )
+                    out.append(np.asarray(idx))
+                return np.concatenate(out, axis=0)
+
+            return search_fn
+
+        # One fn per serving regime: __call__ serves small batches
+        # (b*nprobe < nlist) via the window probe and large block-aligned
+        # batches via the Pallas grouped probe — calibrating only one would
+        # let the other under-deliver (the paths only guarantee ~0.9
+        # mutual top-k overlap at equal nprobe).
+        fns: dict[str, Any] = {}
+        if use_pallas:
+            fns["pallas"] = probe_fn(True, None)
+        fns["window"] = probe_fn(False, 32)
+        oracle_idx = self._exact_topk(xq, k, meta["metric"]) if oracle == "exact" else None
 
         result = autotune.calibrate_nprobe(
-            search_fn, xq, nlist=int(meta["nlist"]), recall_target=target,
-            k=k, ladder=ladder,
+            fns, xq, nlist=int(meta["nlist"]), recall_target=target,
+            k=k, ladder=ladder, oracle_indices=oracle_idx,
+            oracle_regime="pallas" if use_pallas else "window",
         )
+        if result.get("target_unreachable"):
+            lotus_tpu.logger.warning(
+                "calibrate_nprobe: recall_target=%.4g is UNREACHABLE on this "
+                "store — the full probe's absolute recall@%d ceiling is %.4f "
+                "(quantization / candidate caps). Serving the full probe; "
+                "rebuild with higher-fidelity storage (rescore/int8_refine/"
+                "float32) to reach the target.",
+                target, k, result["ceiling"],
+            )
         cal[key] = result
         meta["calibration"] = cal
         if persist and self.index_dir is not None:
@@ -524,8 +602,21 @@ class TpuVS(VS):
             disk_meta = index_io.read_meta(self.index_dir)
             disk_meta["calibration"] = {**(disk_meta.get("calibration") or {}), key: result}
             index_io.write_meta(self.index_dir, disk_meta)
-        self.nprobe = int(result["nprobe"])
+        self._adopt_calibration(result)
         return result
+
+    def _adopt_calibration(self, result: dict[str, Any]) -> None:
+        import lotus_tpu
+
+        new = int(result["nprobe"])
+        if self._nprobe_user_set and new != self.nprobe:
+            lotus_tpu.logger.warning(
+                "calibrate_nprobe: overriding explicitly constructed "
+                "nprobe=%d with calibrated nprobe=%d (recall_target=%g). "
+                "Drop the nprobe= argument to silence this.",
+                self.nprobe, new, result["recall_target"],
+            )
+        self.nprobe = new
 
     def __call__(
         self,
@@ -576,7 +667,12 @@ class TpuVS(VS):
         if use_ivf and self.recall_target is not None and "nprobe" not in kwargs:
             # Lazy autotune: first search calibrates (or reuses the entry
             # persisted in meta.json) and pins self.nprobe to the target.
-            self.calibrate_nprobe(self.recall_target, k=k_eff)
+            # Calibrated ONCE at a fixed k — recall@10, the standard ANN
+            # operating metric (BASELINE config 4) — not per search K:
+            # keying on k_eff would rerun the full-probe oracle inline for
+            # every distinct K a caller passes.  For a different contract,
+            # call calibrate_nprobe(k=...) explicitly.
+            self.calibrate_nprobe(self.recall_target, k=min(10, max(n, 1)))
         use_pallas = False
         if use_ivf:
             nlist = int(meta.get("nlist", 1))

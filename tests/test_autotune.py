@@ -26,8 +26,19 @@ def test_nprobe_ladder_shape():
 def test_recall_at_k_ignores_padding():
     got = np.array([[1, 2, -1], [7, 8, 9]])
     want = np.array([[1, 3, -1], [7, 8, 9]])
-    # Row 0: hits {1} of want {1, 3} -> 1/3 under k=3; row 1: 3/3.
-    assert autotune.recall_at_k(got, want, 3) == pytest.approx((1 / 3 + 1.0) / 2)
+    # Row 0: hits {1} of the 2 VALID oracle ids {1, 3} -> 1/2 (normalized
+    # by valid hits, NOT k: -1 padding must not cap recall below 1.0);
+    # row 1: 3/3.
+    assert autotune.recall_at_k(got, want, 3) == pytest.approx((1 / 2 + 1.0) / 2)
+
+
+def test_recall_at_k_reaches_one_with_padded_oracle():
+    """A query with fewer than k reachable neighbors (oracle padded with -1)
+    must still be able to score recall 1.0 — otherwise recall targets near
+    1.0 silently degrade calibration to the full probe."""
+    got = np.array([[4, 9, -1, -1]])
+    want = np.array([[9, 4, -1, -1]])
+    assert autotune.recall_at_k(got, want, 4) == 1.0
 
 
 def test_calibrate_picks_smallest_sufficient_nprobe():
@@ -116,6 +127,107 @@ def test_recall_target_reuses_persisted_calibration(clustered, monkeypatch):
     out = vs2(emb[:4], 10)
     assert np.asarray(out.indices).shape == (4, 10)
     assert vs2.nprobe == first["nprobe"]
+
+
+def test_exact_oracle_calibration_on_quantized_store(tmp_path):
+    """oracle='exact' makes recall_target ABSOLUTE: on a quantized store the
+    relative (full-probe) oracle cannot see quantization loss, so a 0.999
+    target calibrated relatively can under-deliver vs exact float32.  Exact
+    mode must either meet the target against the float32 ground truth or
+    loudly flag it unreachable with the store's structural ceiling."""
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 64)).astype(np.float32)
+    # Tight clusters -> many near-ties at the top-k boundary, where int8
+    # quantization flips ranks.
+    emb = centers[rng.integers(0, 8, 4000)] + 0.02 * rng.standard_normal(
+        (4000, 64)
+    ).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    d = str(tmp_path / "q")
+    vs = TpuVS(index_type="ivf", nlist=8, device_dtype="int8", int8_encoding="plain")
+    vs.index([], emb, d)
+
+    rel = vs.calibrate_nprobe(0.999, k=10, nq=64)
+    assert rel["oracle"] == "full_probe"
+    assert rel["recall_abs"] is None and rel["ceiling"] == 1.0
+
+    res = vs.calibrate_nprobe(0.999, k=10, nq=64, oracle="exact")
+    assert res["oracle"] == "exact"
+    assert res["recall_abs"] is not None
+    # Quantization makes even the full probe imperfect vs exact float32.
+    assert res["ceiling"] < 1.0
+    if res["target_unreachable"]:
+        assert res["ceiling"] < 0.999
+        assert res["nprobe"] == 8  # serves the best it has: the full probe
+    else:
+        assert res["recall"] >= 0.999
+    # Both entries persist under distinct keys.
+    with open(os.path.join(d, "meta.json")) as f:
+        cal = json.load(f)["calibration"]
+    assert "0.999@10" in cal and "0.999@10/exact" in cal
+
+    # The absolute number must be honest: re-measure the adopted operating
+    # point against an independent exact scan.
+    got = np.asarray(vs(emb[:64], 10, nprobe=res["nprobe"]).indices)
+    ref = np.argsort(-(emb[:64] @ emb.T), axis=1)[:, :10]
+    measured = np.mean([len(set(got[i]) & set(ref[i])) / 10 for i in range(64)])
+    assert measured >= res["recall"] - 0.05
+
+
+def test_calibrate_covers_both_probe_regimes(tmp_path):
+    """On a Pallas-eligible store calibration must price BOTH serving paths
+    (grouped probe for large batches, window probe for small ones): the
+    chosen nprobe has to meet the target on each."""
+    rng = np.random.default_rng(2)
+    centers = rng.standard_normal((4, 32)).astype(np.float32)
+    emb = centers[rng.integers(0, 4, 4096)] + 0.1 * rng.standard_normal(
+        (4096, 32)
+    ).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    d = str(tmp_path / "blk")
+    vs = TpuVS(index_type="ivf", nlist=4)
+    vs._pallas_interpret = True  # CPU stand-in for the on-TPU planner
+    vs.index([], emb, d)
+    assert vs._pallas_eligible(vs._materialize()["meta"])
+
+    res = vs.calibrate_nprobe(0.9, k=10, nq=32)
+    assert res["regimes"] == ["pallas", "window"]
+    assert res["recall"] >= 0.9
+
+
+def test_lazy_autotune_warns_on_user_set_nprobe(clustered, caplog):
+    """An explicitly constructed nprobe is a user decision — lazy
+    calibration repinning it must say so."""
+    import logging
+
+    vs, emb, d = clustered
+    vs.calibrate_nprobe(0.95, k=10, nq=64)  # persist an entry
+    vs2 = TpuVS(index_type="ivf", nlist=16, nprobe=3, recall_target=0.95)
+    vs2.load_index(d)
+    with caplog.at_level(logging.WARNING, logger="lotus_tpu"):
+        vs2(emb[:4], 10)
+    if vs2.nprobe != 3:  # calibration picked a different point
+        assert any("overriding explicitly constructed" in r.message for r in caplog.records)
+
+
+def test_lazy_autotune_calibrates_once_across_distinct_k(clustered, monkeypatch):
+    """The lazy path keys on a FIXED k: searching with different K values
+    must not rerun the full-probe oracle each time."""
+    vs, emb, d = clustered
+    calls = {"n": 0}
+    real = autotune.calibrate_nprobe
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(autotune, "calibrate_nprobe", counting)
+    vs2 = TpuVS(index_type="ivf", nlist=16, recall_target=0.95)
+    vs2.load_index(d)
+    vs2(emb[:4], 5)
+    vs2(emb[:4], 20)
+    vs2(emb[:4], 7)
+    assert calls["n"] <= 1  # 0 if a persisted entry existed, never per-K
 
 
 def test_calibrate_requires_ivf(tmp_path):

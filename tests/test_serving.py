@@ -198,3 +198,56 @@ def test_frontend_partial_serving_on_shard_death(sharded, tmp_path):
         fe2.search(QUERIES, K, allow_partial=True)
     fe.close()
     fe2.close()
+
+
+def test_stop_kills_established_connections(tmp_path):
+    """stop() must terminate PERSISTENT connections, not just the listener:
+    a 'dead' shard serving one more request on an open socket breaks the
+    partial-serving contract."""
+    server = ShardServer(
+        vs_search_fn(_make_store(tmp_path, CORPUS[:32], "est"), id_offset=0)
+    ).start()
+    client = ShardClient(server.address)
+    client.search(QUERIES, 3)  # establish the persistent connection
+    server.stop()
+    with pytest.raises((ConnectionError, OSError, RuntimeError)):
+        client.search(QUERIES, 3)
+    client.close()
+
+
+def test_stop_during_inflight_request(tmp_path):
+    """A request in flight when stop() lands must fail at the client, and
+    stop() must still return (it cannot hang on the busy connection)."""
+    import threading as _threading
+    import time as _time
+
+    entered = _threading.Event()
+
+    def slow_search(xq, k):
+        entered.set()
+        _time.sleep(0.5)  # still "on device" while stop() arrives
+        return (
+            np.zeros((xq.shape[0], k), dtype=np.float32),
+            np.zeros((xq.shape[0], k), dtype=np.int64),
+        )
+
+    server = ShardServer(slow_search).start()
+    client = ShardClient(server.address, timeout=10.0)
+    errors: list[BaseException] = []
+
+    def call():
+        try:
+            client.search(QUERIES, 3)
+        except BaseException as e:  # noqa: BLE001 - recording for the assert
+            errors.append(e)
+
+    t = _threading.Thread(target=call)
+    t.start()
+    assert entered.wait(timeout=5)
+    t0 = _time.monotonic()
+    server.stop()
+    assert _time.monotonic() - t0 < 5  # stop() didn't hang on the busy conn
+    t.join(timeout=10)
+    assert not t.is_alive()
+    assert errors, "in-flight request must fail once the shard is stopped"
+    client.close()

@@ -9,6 +9,7 @@ from lotus_tpu.models.lm import LM
 from lotus_tpu.models.rm import RM
 from lotus_tpu.models.reranker import Reranker
 from lotus_tpu.models.transport import CallableTransport, Completion, CompletionUsage, LiteLLMTransport, Transport
+from lotus_tpu.models.anthropic_transport import AnthropicTransport
 from lotus_tpu.models.fake import FakeTransport, HashRM, make_fake_lm
 from lotus_tpu.models.tfidf_rm import TfidfRM
 
@@ -20,6 +21,7 @@ __all__ = [
     "Completion",
     "CompletionUsage",
     "LiteLLMTransport",
+    "AnthropicTransport",
     "CallableTransport",
     "FakeTransport",
     "HashRM",

@@ -120,9 +120,13 @@ def filter_postprocess(
             lotus_tpu.logger.info(f"\t Failed to parse {answer}: defaulting to {default}")
             return default
         low = answer.lower()
-        if positive.lower() in low:
+        # Whichever token appears FIRST wins: real models often append an
+        # explanation after "Answer: False" that mentions the word "true"
+        # (or vice versa) — substring priority would mask the verdict.
+        p_idx, n_idx = low.find(positive.lower()), low.find(negative.lower())
+        if p_idx != -1 and (n_idx == -1 or p_idx < n_idx):
             return True
-        if negative.lower() in low:
+        if n_idx != -1:
             return False
         lotus_tpu.logger.info(f"\t Failed to parse {answer}: defaulting to {default}")
         return default

@@ -220,6 +220,24 @@ def test_filter_postprocess_unparseable_uses_default():
     assert out_f.outputs == [False]
 
 
+def test_filter_postprocess_first_token_wins_over_trailing_explanation():
+    """Real models append explanations after the verdict — 'Answer: False\\n
+    ...the claim that the text is a true statement is false.' mentions
+    'true' later, and substring priority would mask the actual answer."""
+    from lotus_tpu.sem_ops.postprocessors import filter_postprocess
+
+    lm = lm_true()
+    out = filter_postprocess(
+        [
+            "Answer: False\n\nThe claim that the text is a true statement is false.",
+            "Answer: True. It would be false to say otherwise.",
+        ],
+        lm,
+        True,
+    )
+    assert out.outputs == [False, True]
+
+
 def test_parse_ans_binary_garbage_defaults_to_first():
     from lotus_tpu.sem_ops.sem_topk import parse_ans_binary
 

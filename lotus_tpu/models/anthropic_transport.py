@@ -78,6 +78,8 @@ class AnthropicTransport:
                 "logprob-based cascades need an OpenAI-shaped provider or "
                 "ProxyModel.EMBEDDING_MODEL."
             )
+        if model.startswith("anthropic/"):  # litellm-style provider prefix
+            model = model.split("/", 1)[1]
         if len(messages_batch) == 1:
             return [self._complete_one(model, messages_batch[0], kwargs)]
         with concurrent.futures.ThreadPoolExecutor(max_workers=min(max_workers, 16)) as ex:

@@ -89,13 +89,30 @@ class LM:
 
         # Pluggable seams: tokenizer, provider transport, message cache.
         self.tokenizer: TokenizerLike = ApproxTokenizer() if tokenizer is None else wrap_tokenizer(tokenizer)
-        self.transport: Transport = transport if transport is not None else LiteLLMTransport()
+        self.transport: Transport = transport if transport is not None else self._default_transport(model)
         self.cache = cache if cache is not None else CacheFactory.create_default_cache()
 
         # Accounting.
         self.stats = LMStats()
         self.physical_usage_limit, self.virtual_usage_limit = physical_usage_limit, virtual_usage_limit
         self.kwargs: dict[str, Any] = dict(temperature=temperature, max_completion_tokens=self.max_tokens, **kwargs)
+
+    @staticmethod
+    def _default_transport(model: str) -> Transport:
+        """litellm when installed; otherwise the stdlib Anthropic transport
+        for claude models with a key in the environment, so ``LM("claude-…")``
+        works in SDK-free environments."""
+        try:
+            return LiteLLMTransport()
+        except ImportError:
+            import os
+
+            name = model.split("/", 1)[-1]
+            if name.startswith("claude") and os.environ.get("ANTHROPIC_API_KEY"):
+                from lotus_tpu.models.anthropic_transport import AnthropicTransport
+
+                return AnthropicTransport()
+            raise
 
     # ------------------------------------------------------------------ call
     def __call__(

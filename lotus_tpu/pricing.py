@@ -23,7 +23,9 @@ _PRICES: dict[str, tuple[float, float, float]] = {
     "o3": (2.00, 0.50, 8.00),
     "o4-mini": (1.10, 0.275, 4.40),
     "claude-3-5-haiku": (0.80, 0.08, 4.00),
+    "claude-haiku-4-5": (1.00, 0.10, 5.00),
     "claude-sonnet-4": (3.00, 0.30, 15.00),
+    "claude-sonnet-4-5": (3.00, 0.30, 15.00),
     "claude-opus-4": (15.00, 1.50, 75.00),
     "gemini-2.5-flash": (0.30, 0.075, 2.50),
     "gemini-2.5-pro": (1.25, 0.31, 10.00),

@@ -77,18 +77,27 @@ def get_match_prompt_binary(
 def parse_ans_binary(answer: str) -> tuple[bool, str]:
     """Parse the model's choice. Returns (doc1_wins, explanation); doc1 on failure."""
     reasoning = ""
+    split = False
     open_tag, close_tag = answer.find("<think>"), answer.find("</think>")
     if open_tag != -1 and close_tag != -1:
         reasoning = answer[open_tag + len("<think>"): close_tag].strip()
         answer = answer[close_tag + len("</think>"):].strip()
+        split = True
     else:
         marker = answer.lower().find("answer:")
         if marker != -1:
             reasoning, answer = answer[:marker].strip(), answer[marker:].strip()
+            split = True
 
     hits = re.findall(r"document[\s*](\d+)", answer, re.IGNORECASE) or re.findall(r"\d+", answer)
+    # After an Answer:/think split the FIRST mention is the verdict.  In
+    # direct mode real models often lead with the label and then explain —
+    # "Document 1\n\n…Document 2 has no overlap…" — so a reply that leads
+    # with the label also takes the first mention; only reasoning-first
+    # replies (no marker, label not leading) read conclusion-last.
+    leads = re.match(r"\W*document[\s*]*\d+", answer, re.IGNORECASE) is not None
     try:
-        choice = int(hits[-1])
+        choice = int(hits[0] if split or leads else hits[-1])
     except (IndexError, ValueError):
         choice = 0
     if choice not in (1, 2):

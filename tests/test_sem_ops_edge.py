@@ -245,6 +245,23 @@ def test_parse_ans_binary_garbage_defaults_to_first():
     assert verdict is True  # unparseable -> first document wins (ref semantics)
 
 
+def test_parse_ans_binary_verdict_first_with_trailing_explanation():
+    """Real models lead with the label then explain, often naming the LOSER
+    last — 'Document 1\\n\\n…Document 2 has no overlap…' must parse as 1
+    (found live: last-mention parsing flipped quicksort comparisons)."""
+    from lotus_tpu.sem_ops.sem_topk import parse_ans_binary
+
+    assert parse_ans_binary(
+        "Document 1\n\nWhile neither directly addresses the query, "
+        "Document 2's passage has no terminological overlap."
+    )[0] is True
+    assert parse_ans_binary("Answer: Document 2\n\nDocument 1 was weaker.")[0] is False
+    # Reasoning-first without a marker still reads the conclusion (last).
+    assert parse_ans_binary(
+        "The first document misses the point; overall Document 2 answers better."
+    )[0] is False
+
+
 # ------------------------------------------------------------- join plan costing
 
 

@@ -10,6 +10,7 @@ from benchmarks import (
     cluster_dedup,
     failure_modes,
     judge_pipeline,
+    latency,
     rag_pipeline,
     retrieval_flat,
     retrieval_ivf,
@@ -24,6 +25,7 @@ _REGISTRY = {
     "rag_pipeline": rag_pipeline,
     "judge_pipeline": judge_pipeline,
     "failure_modes": failure_modes,
+    "latency": latency,
 }
 
 BENCHMARKS = list(_REGISTRY.keys())

@@ -66,6 +66,28 @@ def exact_topk_device(corpus, queries, k: int) -> np.ndarray:
     return fetch_int32(idx)
 
 
+def exact_topk_device_chunked(corpus, queries, k: int, chunk: int = 4096) -> np.ndarray:
+    """Full f32 exact oracle on device, query-chunked so the score matrix
+    stays HBM-resident (nq x n f32 at 100k x 100k would be 40 GB; 4k x 100k
+    is 1.6 GB).  One compile per chunk shape: the tail chunk is padded."""
+    import jax.numpy as jnp
+
+    from lotus_tpu.ops.common import fetch_int32
+    from lotus_tpu.ops.flat import flat_search
+
+    corpus = jnp.asarray(corpus, jnp.float32)
+    nq = queries.shape[0]
+    out = np.empty((nq, k), dtype=np.int32)
+    for start in range(0, nq, chunk):
+        q = jnp.asarray(queries[start : start + chunk], jnp.float32)
+        pad = chunk - q.shape[0]
+        if pad:
+            q = jnp.pad(q, ((0, pad), (0, 0)))
+        _, idx = flat_search(corpus, q, k, metric="ip")
+        out[start : start + chunk] = fetch_int32(idx)[: chunk - pad]
+    return out
+
+
 def recall_at_k(got: np.ndarray, truth: np.ndarray) -> float:
     k = truth.shape[1]
     return float(np.mean([len(set(got[i, :k]) & set(truth[i])) / k for i in range(len(truth))]))

@@ -82,6 +82,21 @@ PACKED = True
 # 5 = after pair grouping (hist/cumsum/rank); 6 = after the padded query
 # layout gather (before the per-unit scalar tables).
 _DEBUG_STAGE = 0
+# Pool pre-reduction (packed path): keep only the per-(query,list) top-PR
+# candidates BEFORE the reassembly gather, shrinking the gather and the
+# final per-query top-k by kc/PR.  Exact for the final ranking whenever
+# PR >= the pool head (k, or 2k on spilled stores): one pair can contribute
+# at most that many survivors.  0 = off.  Modes: "exact" (lax.top_k over the
+# ncand minor dim), "approx" (hardware PartialReduce).
+POOL_PREREDUCE = 0
+POOL_PREREDUCE_MODE = "exact"
+# Pair-grouping rank via MXU instead of jnp.cumsum: the exclusive prefix
+# over the (b, nlist) probe histogram is a strictly-lower-triangular ones
+# matmul (f32 is exact: counts <= b << 2^24).  jnp.cumsum over the 67 MB
+# histogram lowered to a multi-pass scan measured ~21 ms of the 138 ms
+# batch at the 10M operating point; the MXU does the same prefix as a
+# b x b x nlist matmul.
+CUMSUM_MATMUL = False
 
 
 def _dbg_out(b, k, return_rows, anchor):
@@ -376,9 +391,19 @@ def _grouped_probe_pallas(
     if b * nlist <= (1 << 26):  # histogram scratch <= 256 MB
         hist = jnp.zeros((b, nlist), jnp.int32)
         hist = hist.at[q_ids, l_flat].set(1, mode="drop", unique_indices=True)
-        cum = jnp.cumsum(hist, axis=0)
-        counts = cum[-1]
-        rank = (cum - hist)[q_ids, l_flat]          # (P,) rank within list
+        if CUMSUM_MATMUL:
+            histf = hist.astype(jnp.float32)
+            counts = jnp.sum(hist, axis=0)
+            # Exclusive prefix as one MXU matmul (see flag comment above).
+            # Default (bf16-input) precision is EXACT here: 0/1 inputs are
+            # bf16-representable and the MXU accumulates in f32.
+            tril = jnp.tril(jnp.ones((b, b), jnp.float32), -1)
+            excl = jax.lax.dot(tril, histf)
+            rank = excl[q_ids, l_flat].astype(jnp.int32)
+        else:
+            cum = jnp.cumsum(hist, axis=0)
+            counts = cum[-1]
+            rank = (cum - hist)[q_ids, l_flat]      # (P,) rank within list
     else:  # huge-nlist fallback: group by one stable sort
         order = jnp.argsort(l_flat, stable=True)
         sl = l_flat[order]
@@ -528,12 +553,32 @@ def _grouped_probe_pallas(
     # empty) reads an unwritten chunk row: mask by blocks-of-list > 0.
     kc = ncand
     empty = (blocks[l_flat] > 0)[:, None]
+    pool_head = min((2 * k if spilled else k), nprobe * kc)
     if packed:
         # One packed pool: scores carry their window-local row id in the low
         # mantissa bits; storage rows recover as list_start[probed list] +
         # local (clamped — masked lanes decode garbage ids but their scores
         # stay MASK_SCORE and die at the top-k).
         flat = cand_pk.reshape((n_chunks_max + 1) * QU, ncand)
+        pr = POOL_PREREDUCE
+        if pr and pool_head <= pr < kc:
+            # Keep each pair's top-pr before the gather: one pair can put at
+            # most pool_head rows into the final per-query head, so this is
+            # exact for the final ranking (selection already operates on the
+            # id-packed truncated scores, same as the big pool top-k below).
+            if POOL_PREREDUCE_MODE == "approx":
+                flat = jax.lax.approx_max_k(flat, pr)[0]
+            elif POOL_PREREDUCE_MODE == "pool":
+                # Single-pass strided max-pool: keep the best of each
+                # kc//pr-lane group (1 VPU op/element, no sort).  NOT exact —
+                # drops a pair's 2nd-best candidate within a group — but the
+                # candidate lanes are per-bucket survivors of DIFFERENT row
+                # hashes, so collisions are rare and the exact rescore
+                # absorbs rank flips; recall must be measured per shape.
+                flat = flat.reshape(flat.shape[0], pr, kc // pr).max(axis=-1)
+            else:
+                flat = jax.lax.top_k(flat, pr)[0]
+            kc = pr
         pool = jnp.where(empty, flat[padpos], MASK_SCORE)
         packed3 = pool.reshape(b, nprobe, kc)
         bits = jax.lax.bitcast_convert_type(packed3, jnp.int32)

@@ -55,10 +55,18 @@ def build_pipeline() -> LazyFrame:
     )
 
 
+def _verdict(text: str) -> str:
+    """First alphabetic word — robust to real models' markdown emphasis."""
+    import re
+
+    words = re.findall(r"[a-z]+", str(text).lower())
+    return words[0] if words else ""
+
+
 def make_eval_fn(train_df: pd.DataFrame):
     def eval_fn(output_df, example):
         correct = sum(
-            str(j).strip().lower() == l for j, l in zip(output_df["_judge_0"], output_df["label"])
+            _verdict(j) == l for j, l in zip(output_df["_judge_0"], output_df["label"])
         )
         return correct / max(len(output_df), 1)
 
@@ -73,7 +81,7 @@ def optimize_pipeline(lf: LazyFrame, train_df: pd.DataFrame, eval_fn, max_metric
 
 def evaluate(result: pd.DataFrame, test_df: pd.DataFrame, oracle_lm: LM, helper_lm: LM) -> dict[str, Any]:
     correct = sum(
-        str(j).strip().lower() == l for j, l in zip(result["_judge_0"], result["label"])
+        _verdict(j) == l for j, l in zip(result["_judge_0"], result["label"])
     )
     usage = oracle_lm.stats.virtual_usage
     return {

@@ -64,12 +64,20 @@ def build_pipeline(cascade_args=None) -> LazyFrame:
     )
 
 
+def _first_word(text: str) -> str:
+    """First alphabetic word of an answer — robust to the markdown/emphasis
+    real models wrap verdicts in ('**Yes**\\n\\nThe passage…')."""
+    import re
+
+    words = re.findall(r"[a-z]+", str(text).lower())
+    return words[0] if words else ""
+
+
 def make_eval_fn(train_df: pd.DataFrame):
     def eval_fn(output_df, example):
         merged = output_df
         correct = sum(
-            str(p).strip().lower().startswith(a)
-            for p, a in zip(merged["_pred"], merged["answer"])
+            _first_word(p) == a for p, a in zip(merged["_pred"], merged["answer"])
         )
         return correct / max(len(merged), 1)
 
@@ -84,7 +92,7 @@ def optimize_pipeline(lf: LazyFrame, train_df: pd.DataFrame, eval_fn, max_metric
 
 def evaluate(result: pd.DataFrame, test_df: pd.DataFrame, oracle_lm: LM, helper_lm: LM) -> dict[str, Any]:
     correct = sum(
-        str(p).strip().lower().startswith(a) for p, a in zip(result["_pred"], result["answer"])
+        _first_word(p) == a for p, a in zip(result["_pred"], result["answer"])
     )
     usage = oracle_lm.stats.virtual_usage
     return {

@@ -566,16 +566,11 @@ def _grouped_probe_pallas(
             # most pool_head rows into the final per-query head, so this is
             # exact for the final ranking (selection already operates on the
             # id-packed truncated scores, same as the big pool top-k below).
+            # (A strided max-pool variant was also measured — QPS-wash like
+            # these, plus a recall cliff at some widths — and removed;
+            # tools_dev/exp_probe_r5b.py records the numbers.)
             if POOL_PREREDUCE_MODE == "approx":
                 flat = jax.lax.approx_max_k(flat, pr)[0]
-            elif POOL_PREREDUCE_MODE == "pool":
-                # Single-pass strided max-pool: keep the best of each
-                # kc//pr-lane group (1 VPU op/element, no sort).  NOT exact —
-                # drops a pair's 2nd-best candidate within a group — but the
-                # candidate lanes are per-bucket survivors of DIFFERENT row
-                # hashes, so collisions are rare and the exact rescore
-                # absorbs rank flips; recall must be measured per shape.
-                flat = flat.reshape(flat.shape[0], pr, kc // pr).max(axis=-1)
             else:
                 flat = jax.lax.top_k(flat, pr)[0]
             kc = pr

@@ -1,4 +1,5 @@
-"""Round-5b: cheap pool pre-reductions + rescore width, after r5a measured
+"""Round-5b (HISTORICAL — the 'pool' mode measured here was removed
+from pallas_ivf afterwards: QPS-wash plus a recall cliff at pr=32): cheap pool pre-reductions + rescore width, after r5a measured
 exact/approx top-k pre-reduction a wash (the sort costs what the smaller
 gather saves).  'pool' is one VPU pass; recall is the question.
 """

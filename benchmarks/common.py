@@ -104,3 +104,12 @@ def timed(fn, warmup: int = 1, iters: int = 3):
         np.asarray(out[0])
         times.append(time.perf_counter() - t0)
     return min(times), out
+
+
+def first_word(text) -> str:
+    """First alphabetic word of an answer, lowercased — robust to the
+    markdown/emphasis real models wrap verdicts in ('**Yes**\n\nThe…')."""
+    import re
+
+    words = re.findall(r"[a-z]+", str(text).lower())
+    return words[0] if words else ""

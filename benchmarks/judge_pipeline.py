@@ -55,12 +55,7 @@ def build_pipeline() -> LazyFrame:
     )
 
 
-def _verdict(text: str) -> str:
-    """First alphabetic word — robust to real models' markdown emphasis."""
-    import re
-
-    words = re.findall(r"[a-z]+", str(text).lower())
-    return words[0] if words else ""
+from benchmarks.common import first_word as _verdict
 
 
 def make_eval_fn(train_df: pd.DataFrame):

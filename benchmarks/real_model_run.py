@@ -127,7 +127,9 @@ def main() -> None:
     import tempfile
 
     out: dict[str, Any] = {}
-    if os.path.exists(ARTIFACT):  # merge partial runs (--skip) into one artifact
+    # Merge ONLY partial (--skip) runs into the prior artifact: a full rerun
+    # replaces it outright (merging there would double-count usage).
+    if args.skip and os.path.exists(ARTIFACT):
         try:
             with open(ARTIFACT) as f:
                 prior = json.load(f)

@@ -55,7 +55,10 @@ class AnthropicTransport:
         self.base_url = (base_url or os.environ.get("ANTHROPIC_BASE_URL") or "https://api.anthropic.com").rstrip("/")
         self.api_key = api_key or os.environ.get("ANTHROPIC_API_KEY")
         if not self.api_key:
-            raise ImportError(
+            # ValueError, not ImportError: this is a configuration problem,
+            # and callers treat ImportError as "optional dependency missing"
+            # (the LiteLLMTransport convention).
+            raise ValueError(
                 "AnthropicTransport needs an API key: pass api_key= or set ANTHROPIC_API_KEY."
             )
         self.max_retries = max_retries
@@ -63,6 +66,7 @@ class AnthropicTransport:
         self._stats_lock = threading.Lock()
         self.request_count = 0
         self.retry_count = 0
+        self._warned_kwargs: set[str] = set()
 
     # ------------------------------------------------------------ transport
     def complete_batch(
@@ -130,6 +134,25 @@ class AnthropicTransport:
             body["system"] = system
         if kwargs.get("temperature") is not None:
             body["temperature"] = kwargs["temperature"]
+        # Forward the sampling params the Messages API understands (OpenAI
+        # names mapped where they differ); warn ONCE per unknown kwarg
+        # instead of silently changing decoding behavior vs LiteLLMTransport.
+        for src_key, dst_key in (("top_p", "top_p"), ("top_k", "top_k"),
+                                 ("stop", "stop_sequences"), ("stop_sequences", "stop_sequences"),
+                                 ("metadata", "metadata")):
+            if kwargs.get(src_key) is not None:
+                val = kwargs[src_key]
+                body[dst_key] = [val] if dst_key == "stop_sequences" and isinstance(val, str) else val
+        known = {"max_completion_tokens", "max_tokens", "temperature", "logprobs",
+                 "top_logprobs", "top_p", "top_k", "stop", "stop_sequences", "metadata"}
+        for extra in set(kwargs) - known:
+            if extra not in self._warned_kwargs:
+                self._warned_kwargs.add(extra)
+                import lotus_tpu
+
+                lotus_tpu.logger.warning(
+                    "AnthropicTransport: dropping unsupported completion kwarg %r", extra
+                )
         data = json.dumps(body).encode()
 
         last: Exception | None = None

@@ -90,14 +90,24 @@ def parse_ans_binary(answer: str) -> tuple[bool, str]:
             split = True
 
     hits = re.findall(r"document[\s*](\d+)", answer, re.IGNORECASE) or re.findall(r"\d+", answer)
-    # After an Answer:/think split the FIRST mention is the verdict.  In
-    # direct mode real models often lead with the label and then explain —
-    # "Document 1\n\n…Document 2 has no overlap…" — so a reply that leads
-    # with the label also takes the first mention; only reasoning-first
-    # replies (no marker, label not leading) read conclusion-last.
+    # Verdict selection, tuned on real-model output:
+    # - After an Answer:/think split, the verdict LINE usually holds exactly
+    #   one label ("Answer: Document 1") — use it even when later lines name
+    #   the loser ("…Document 2 has no overlap").  If the verdict line itself
+    #   is comparative ("Answer: Document 1 is less relevant than Document 2,
+    #   so Document 2 wins"), the conclusion comes last — take the last
+    #   mention.
+    # - Unsplit replies that LEAD with the label ("Document 1\n\nWhile…")
+    #   take the first mention; reasoning-first replies read conclusion-last.
+    first_line_hits = re.findall(r"document[\s*](\d+)", answer.splitlines()[0] if answer else "", re.IGNORECASE)
     leads = re.match(r"\W*document[\s*]*\d+", answer, re.IGNORECASE) is not None
     try:
-        choice = int(hits[0] if split or leads else hits[-1])
+        if split and len(set(first_line_hits)) == 1:
+            choice = int(first_line_hits[0])
+        elif split:
+            choice = int(hits[-1])
+        else:
+            choice = int(hits[0] if leads else hits[-1])
     except (IndexError, ValueError):
         choice = 0
     if choice not in (1, 2):

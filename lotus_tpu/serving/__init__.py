@@ -157,6 +157,9 @@ class ShardServer:
                 self._conns.add(conn)
             t = threading.Thread(target=self._serve_conn, args=(conn,), daemon=True)
             t.start()
+            # Prune finished threads so a long-lived server with churning
+            # clients doesn't retain one Thread object per connection ever.
+            self._conn_threads = [x for x in self._conn_threads if x.is_alive()]
             self._conn_threads.append(t)
 
     def _serve_conn(self, conn: socket.socket) -> None:

@@ -588,11 +588,12 @@ class TpuVS(VS):
         if result.get("target_unreachable"):
             lotus_tpu.logger.warning(
                 "calibrate_nprobe: recall_target=%.4g is UNREACHABLE on this "
-                "store — the full probe's absolute recall@%d ceiling is %.4f "
-                "(quantization / candidate caps). Serving the full probe; "
+                "store — the full probe's recall@%d ceiling on the worst "
+                "serving regime (%s oracle) is %.4f (quantization / candidate "
+                "caps / cross-regime disagreement). Serving the full probe; "
                 "rebuild with higher-fidelity storage (rescore/int8_refine/"
                 "float32) to reach the target.",
-                target, k, result["ceiling"],
+                target, k, result["oracle"], result["ceiling"],
             )
         cal[key] = result
         meta["calibration"] = cal

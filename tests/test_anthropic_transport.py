@@ -127,8 +127,27 @@ def test_logprobs_request_rejected():
 
 def test_missing_key_raises(monkeypatch):
     monkeypatch.delenv("ANTHROPIC_API_KEY", raising=False)
-    with pytest.raises(ImportError, match="API key"):
+    # ValueError (configuration), NOT ImportError (optional-dependency).
+    with pytest.raises(ValueError, match="API key"):
         AnthropicTransport(base_url="http://fake")
+
+
+def test_sampling_kwargs_forwarded_and_unknown_warned(monkeypatch, caplog):
+    captured = {}
+
+    def fake_urlopen(req, timeout=None):
+        captured["body"] = json.loads(req.data)
+        return _Resp(fake_response())
+
+    monkeypatch.setattr("urllib.request.urlopen", fake_urlopen)
+    t = make_transport()
+    t.complete_batch(
+        "claude-test", [[{"role": "user", "content": "q"}]],
+        top_p=0.5, stop="END", frobnicate=1,
+    )
+    assert captured["body"]["top_p"] == 0.5
+    assert captured["body"]["stop_sequences"] == ["END"]
+    assert "frobnicate" not in captured["body"]
 
 
 def test_lm_default_transport_falls_back_to_anthropic(monkeypatch):

@@ -264,3 +264,33 @@ def test_calibrate_on_sharded_store(tmp_path):
     assert vs.nprobe == res["nprobe"]
     with open(os.path.join(d, "meta.json")) as f:
         assert "calibration" in json.load(f)
+
+
+def test_multi_regime_fallback_reports_worst_regime_and_unreachable():
+    """When no ladder point meets the target, the fallback must report the
+    MIN-across-regimes recall of the full probe and flag the target
+    unreachable — not the anchor's self-recall (1.0 in relative mode),
+    which would silently pin nprobe=nlist with a fictitious recall."""
+    rng = np.random.default_rng(5)
+    truth = rng.integers(0, 1000, size=(32, 10)).astype(np.int64)
+
+    def anchor_fn(xq, k, nprobe):
+        return truth
+
+    def window_fn(xq, k, nprobe):
+        # Disagrees with the anchor on 3 of 10 ids at EVERY nprobe: its
+        # recall vs the anchor's full probe is capped at 0.7.
+        out = truth.copy()
+        out[:, :3] = truth[:, :3] + 100000
+        return out
+
+    res = autotune.calibrate_nprobe(
+        {"pallas": anchor_fn, "window": window_fn},
+        np.zeros((32, 8), np.float32),
+        nlist=64, recall_target=0.95, k=10, oracle_regime="pallas",
+    )
+    assert res["nprobe"] == 64  # fallback: full probe
+    assert res["target_unreachable"] is True
+    # duplicate ids within a truth row shift the set-based recall slightly
+    assert res["recall"] == pytest.approx(0.7, abs=0.02)
+    assert res["ceiling"] == pytest.approx(0.7, abs=0.02)

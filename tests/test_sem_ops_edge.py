@@ -260,6 +260,11 @@ def test_parse_ans_binary_verdict_first_with_trailing_explanation():
     assert parse_ans_binary(
         "The first document misses the point; overall Document 2 answers better."
     )[0] is False
+    # A comparative verdict LINE names both: the conclusion comes last.
+    assert parse_ans_binary(
+        "Answer: Document 1 is less relevant than Document 2, so Document 2 wins."
+    )[0] is False
+    assert parse_ans_binary("<think>1 seems off</think>Answer: Document 2")[0] is False
 
 
 # ------------------------------------------------------------- join plan costing

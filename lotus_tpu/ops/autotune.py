@@ -121,7 +121,8 @@ def calibrate_nprobe(
     full = fulls[anchor]
     exact = oracle_indices is not None
     want = np.asarray(oracle_indices) if exact else full
-    ceiling = min(recall_at_k(f, want, k) for f in fulls.values())
+    ceilings = {name: recall_at_k(f, want, k) for name, f in fulls.items()}
+    ceiling = min(ceilings.values())
 
     points: list[tuple[int, float]] = []
     chosen: tuple[int, float, np.ndarray] | None = None
@@ -145,6 +146,7 @@ def calibrate_nprobe(
         "recall_abs": float(chosen[1]) if exact else None,
         "oracle": "exact" if exact else "full_probe",
         "ceiling": float(ceiling),
+        "ceilings": {name: float(c) for name, c in sorted(ceilings.items())},
         # Unreachable in EITHER mode when even the worst regime's full probe
         # misses the target (relative mode can fail too: cross-regime
         # disagreement caps min-recall below 1.0).

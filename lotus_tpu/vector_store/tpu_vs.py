@@ -83,6 +83,8 @@ class TpuVS(VS):
         # None = "use the default (32) until autotune picks one"; an explicit
         # value is respected — lazy calibration warns before repinning it.
         self._nprobe_user_set = nprobe is not None
+        # Serving regimes disabled by calibration (see _adopt_calibration).
+        self._regimes_dropped: set[str] = set()
         self.nprobe = 32 if nprobe is None else int(nprobe)
         self.mesh = mesh
         self.approx = approx
@@ -520,6 +522,13 @@ class TpuVS(VS):
                 (the full probe itself) is below the target, the result is
                 flagged ``target_unreachable`` and a warning is logged.
 
+        When one regime's ceiling is below the target but another's is not
+        (e.g. the Pallas fold's candidate caps on few-huge-list corpora),
+        the failing regime is DROPPED from serving (``regimes_dropped`` in
+        the result, persisted with the calibration) and the ladder re-runs
+        on the survivors; ``__call__`` routes large batches to the
+        exhaustive scan instead of the dropped Pallas path.
+
         The reference leaves this trade-off entirely to the user (faiss
         ``nprobe`` is a raw knob, ``lotus/vector_store/faiss_vs.py``).
         """
@@ -585,6 +594,33 @@ class TpuVS(VS):
             k=k, ladder=ladder, oracle_indices=oracle_idx,
             oracle_regime="pallas" if use_pallas else "window",
         )
+        if result.get("target_unreachable") and len(fns) > 1:
+            # Regime-aware recovery: when one serving path's structural
+            # ceiling is below the target but another's is not (e.g. the
+            # Pallas fold's candidate caps on few-huge-list corpora, while
+            # the window probe scans whole lists), DROP the failing regime
+            # and recalibrate on the survivors instead of serving a path
+            # that cannot meet the contract.  __call__ then routes around
+            # the dropped regime (large batches fall back to the exhaustive
+            # scan, which reads everything and has no such ceiling).
+            ceilings = result.get("ceilings", {})
+            survivors = {name: fn for name, fn in fns.items()
+                         if ceilings.get(name, 0.0) >= target}
+            if survivors and len(survivors) < len(fns):
+                dropped = sorted(set(fns) - set(survivors))
+                lotus_tpu.logger.warning(
+                    "calibrate_nprobe: regime(s) %s cannot reach "
+                    "recall_target=%.4g (ceilings %s); dropping them from "
+                    "serving and recalibrating on %s.",
+                    dropped, target,
+                    {r: round(ceilings[r], 4) for r in dropped}, sorted(survivors),
+                )
+                result = autotune.calibrate_nprobe(
+                    survivors, xq, nlist=int(meta["nlist"]), recall_target=target,
+                    k=k, ladder=ladder, oracle_indices=oracle_idx,
+                    oracle_regime="pallas" if "pallas" in survivors else "window",
+                )
+                result["regimes_dropped"] = dropped
         if result.get("target_unreachable"):
             lotus_tpu.logger.warning(
                 "calibrate_nprobe: recall_target=%.4g is UNREACHABLE on this "
@@ -609,6 +645,9 @@ class TpuVS(VS):
     def _adopt_calibration(self, result: dict[str, Any]) -> None:
         import lotus_tpu
 
+        # Calibration-driven regime restriction (persisted with the entry,
+        # so reloads route the same way without re-measuring).
+        self._regimes_dropped = set(result.get("regimes_dropped", []))
         new = int(result["nprobe"])
         if self._nprobe_user_set and new != self.nprobe:
             lotus_tpu.logger.warning(
@@ -680,7 +719,9 @@ class TpuVS(VS):
             nprobe_planned = int(kwargs.get("nprobe", self.nprobe))
             if xq.shape[0] * max(nprobe_planned, 1) >= nlist:
                 use_ivf = False
-                use_pallas = self._pallas_eligible(meta)
+                use_pallas = (
+                    self._pallas_eligible(meta) and "pallas" not in self._regimes_dropped
+                )
         if use_pallas or use_ivf:
             nprobe = int(kwargs.get("nprobe", self.nprobe))
             dists, idx = self._probe_ivf(

@@ -294,3 +294,63 @@ def test_multi_regime_fallback_reports_worst_regime_and_unreachable():
     # duplicate ids within a truth row shift the set-based recall slightly
     assert res["recall"] == pytest.approx(0.7, abs=0.02)
     assert res["ceiling"] == pytest.approx(0.7, abs=0.02)
+
+
+def test_calibration_drops_regime_that_cannot_reach_target(tmp_path):
+    """Regime-aware recovery: when one serving path's structural ceiling is
+    below the target but another's is not, calibration must DROP the failing
+    regime (recording it in the result) and __call__ must route around it —
+    not serve a path that cannot meet the contract."""
+    import numpy as _np
+
+    from lotus_tpu.ops import autotune as _at
+
+    rng = np.random.default_rng(9)
+    centers = rng.standard_normal((4, 32)).astype(np.float32)
+    emb = centers[rng.integers(0, 4, 2048)] + 0.1 * rng.standard_normal(
+        (2048, 32)
+    ).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    d = str(tmp_path / "drop")
+    vs = TpuVS(index_type="ivf", nlist=4)
+    vs._pallas_interpret = True
+    vs.index([], emb, d)
+    assert vs._pallas_eligible(vs._materialize()["meta"])
+
+    # Force a pallas-only ceiling below the target by corrupting the pallas
+    # regime's results inside calibrate (simulating the fold's candidate-cap
+    # collisions on degenerate corpora, cheap enough for CPU interpret).
+    real_calibrate = _at.calibrate_nprobe
+
+    def wrapped(fns, xq, **kw):
+        if isinstance(fns, dict) and "pallas" in fns:
+            inner = fns["pallas"]
+
+            def bad_pallas(q, k, nprobe):
+                out = _np.asarray(inner(q, k, nprobe)).copy()
+                out[:, : max(1, out.shape[1] // 2)] = -1  # half the hits gone
+                return out
+
+            fns = {**fns, "pallas": bad_pallas}
+        return real_calibrate(fns, xq, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(_at, "calibrate_nprobe", side_effect=wrapped):
+        # exact oracle: the corrupted pallas regime's ceiling is measured
+        # against float32 ground truth, not against its own output.
+        res = vs.calibrate_nprobe(0.9, k=10, nq=32, oracle="exact")
+
+    assert res["regimes_dropped"] == ["pallas"]
+    assert res["regimes"] == ["window"]
+    assert res["recall"] >= 0.9
+    assert vs._regimes_dropped == {"pallas"}
+
+    # Large batch (b*nprobe >= nlist) must now avoid the Pallas path: the
+    # exhaustive scan serves it instead, and results stay accurate.
+    out = vs(emb[:64], 10)
+    got = np.asarray(out.indices)
+    scores = emb[:64] @ emb.T
+    truth = np.argsort(-scores, axis=1)[:, :10]
+    rec = np.mean([len(set(got[i]) & set(truth[i])) / 10 for i in range(64)])
+    assert rec >= 0.9

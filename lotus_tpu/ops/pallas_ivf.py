@@ -425,7 +425,13 @@ def _grouped_probe_pallas(
     #    + rows // BL                        (the +1-per-probed-list part:
     #                                         every list's blocks exist in
     #                                         the block-aligned storage)
-    u_max = max_blocks * (p // QU) + xb_sorted.shape[0] // bl
+    # and ALSO <= P * max_blocks (ceil(c/QU) <= c for c >= 1), which is far
+    # tighter at small batch: without it a B=1 probe of a 10M store parks
+    # ~rows/BL grid steps, paying grid overhead for no work.
+    u_max = min(
+        max_blocks * (p // QU) + xb_sorted.shape[0] // bl,
+        p * max_blocks,
+    )
 
     # ---- per-chunk padded query layout ------------------------------------
     # chunk c of list l sits at global chunk id (chunk_cum[l-1] + c); its QU

@@ -680,11 +680,16 @@ class TpuVS(VS):
 
         k_eff = int(min(K, max(n, 1)))
         # Regime-based planning for IVF (measured on v5e, docs/benchmarks.md):
-        # - small batch: the window probe (latency-optimal; reads only the
-        #   probed lists).
-        # - large batch on a block-aligned index: the Pallas grouped probe
-        #   (scalar-prefetched block DMA) — faster AND more accurate than
-        #   the exhaustive approx scan (1M x 768, B=4096: ~101k QPS vs 87k).
+        # - block-aligned index on TPU: the Pallas grouped probe
+        #   (scalar-prefetched block DMA) at EVERY batch size.  Round 5
+        #   tightened its static grid bound to p*max_blocks, after which it
+        #   beats the window probe 10-150x at small batch too (10M store,
+        #   B=1: 5.0 ms vs 53 ms; 200k, B=64: 1.5 ms vs 222 ms — device-side,
+        #   equal recall; tools_dev/exp_smallbatch_probe.py) — the window
+        #   probe's (B, nprobe*window, d) gather slab is what made it
+        #   "latency-optimal" only in theory.
+        # - small batch otherwise (or with pallas dropped by calibration):
+        #   the window probe (reads only the probed lists).
         # - large batch otherwise: the exhaustive approx_max_k scan, which
         #   amortizes one database pass over the batch; the XLA grouped
         #   probe (ivf_search_grouped) stays available explicitly but is
@@ -717,11 +722,11 @@ class TpuVS(VS):
         if use_ivf:
             nlist = int(meta.get("nlist", 1))
             nprobe_planned = int(kwargs.get("nprobe", self.nprobe))
-            if xq.shape[0] * max(nprobe_planned, 1) >= nlist:
+            if self._pallas_eligible(meta) and "pallas" not in self._regimes_dropped:
                 use_ivf = False
-                use_pallas = (
-                    self._pallas_eligible(meta) and "pallas" not in self._regimes_dropped
-                )
+                use_pallas = True
+            elif xq.shape[0] * max(nprobe_planned, 1) >= nlist:
+                use_ivf = False  # exhaustive-scan fallback (no aligned probe)
         if use_pallas or use_ivf:
             nprobe = int(kwargs.get("nprobe", self.nprobe))
             dists, idx = self._probe_ivf(

@@ -32,7 +32,11 @@ for n, nlist, nprobe in ((2**18, 512, 32), (10 * 2**20, 4096, 208)):
         queries_b=256, gt_queries=128, k=K, seed=0, log=lambda m: None,
     )
     state, xq, gt = built["state"], built["queries"], built["gt"]
-    arrays = {kk: v for kk, v in state.items() if hasattr(v, "shape")}
+    # Only the BIG arrays ride as jit args (avoids the 413 payload limit);
+    # small planning arrays (list_start/size etc.) must stay concrete — the
+    # probe reads them on host at trace time.
+    arrays = {kk: v for kk, v in state.items()
+              if hasattr(v, "shape") and getattr(v, "size", 0) > (1 << 20)}
     aux = {kk: v for kk, v in state.items() if kk not in arrays}
     say(f"--- store {n} rows, nlist={nlist}, nprobe={nprobe} ---")
 

@@ -168,6 +168,7 @@ def run(
     k: int = 10,
     iters: int = 30,
     serving_shards: int = 2,
+    pallas_n: int = 2**18,
 ) -> dict[str, Any]:
     import pandas as pd
 
@@ -235,6 +236,38 @@ def run(
         results["ivf_device_side_window_probe"] = _device_side(
             {b: (ivf_fn, arrays, queries4[:b]) for b in BATCHES}
         )
+
+        # Block-aligned IVF store (avg list >= 512 rows): the shape where the
+        # planner serves EVERY batch size through the Pallas grouped probe
+        # (round-5 shootout, docs/benchmarks.md) — the 200k store above
+        # builds un-aligned and stays on the window probe, so both serving
+        # regimes get pinned.
+        corpusP = make_corpus(pallas_n, ivf_d, seed=4)
+        queriesP = make_queries(corpusP, 64, seed=5)
+        ivf_p = TpuVS(index_type="ivf", nlist=nlist)
+        ivf_p.index([], corpusP, os.path.join(tmp, "ivfp"))
+        meta_p = ivf_p._materialize()["meta"]
+        if ivf_p._pallas_eligible(meta_p):
+            results["config"]["ivf_pallas"] = f"{pallas_n}x{ivf_d} nlist={nlist}"
+            results["ivf_pallas_direct"] = _bench_store(ivf_p, queriesP, k, iters)
+
+            from lotus_tpu.ops.pallas_ivf import ivf_search_pallas
+
+            stateP = ivf_p._materialize()
+            arraysP = {kk: v for kk, v in stateP.items()
+                       if hasattr(v, "shape") and getattr(v, "size", 0) > (1 << 20)}
+            auxP = {kk: v for kk, v in stateP.items() if kk not in arraysP}
+            nprobe_p = ivf_p.nprobe
+
+            def pallas_fn(arrs, qq):
+                d, _ = ivf_search_pallas(
+                    {**auxP, **arrs}, qq, k, nprobe=nprobe_p, metric="ip"
+                )
+                return d
+
+            results["ivf_device_side_pallas_probe"] = _device_side(
+                {b: (pallas_fn, arraysP, queriesP[:b]) for b in BATCHES}
+            )
 
         # Serving tier: same IVF store behind N TCP shards on this host.
         results[f"serving_{serving_shards}shards"] = _bench_serving(

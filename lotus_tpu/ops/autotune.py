@@ -21,10 +21,13 @@ Two oracles:
   of silently rounding down.
 
 Calibration measures every probe path the store will actually serve with
-(pass one search fn per regime — e.g. the Pallas grouped probe for large
-batches AND the window probe for small ones; a ladder point's recall is
-the MIN across regimes), so fold candidate caps and quantization are
-priced in — the chosen point is an operating point, not a model.
+(pass one search fn per serving regime; a ladder point's recall is the
+MIN across regimes), so fold candidate caps and quantization are priced
+in — the chosen point is an operating point, not a model.  TpuVS passes
+exactly its planner's serving path: the Pallas grouped probe on eligible
+stores (which serve every batch size through it), the window probe
+otherwise — and recalibrates on the window fallback when the Pallas
+regime's structural ceiling is below the target (regime drop).
 """
 
 from __future__ import annotations

@@ -578,15 +578,17 @@ class TpuVS(VS):
 
             return search_fn
 
-        # One fn per serving regime: __call__ serves small batches
-        # (b*nprobe < nlist) via the window probe and large block-aligned
-        # batches via the Pallas grouped probe — calibrating only one would
-        # let the other under-deliver (the paths only guarantee ~0.9
-        # mutual top-k overlap at equal nprobe).
-        fns: dict[str, Any] = {}
-        if use_pallas:
-            fns["pallas"] = probe_fn(True, None)
-        fns["window"] = probe_fn(False, 32)
+        # Calibrate the path __call__ actually serves: an eligible store
+        # serves EVERY batch size through the Pallas grouped probe (round-5
+        # planner, docs/benchmarks.md); the window probe serves only
+        # non-aligned stores — or an eligible store whose Pallas regime gets
+        # dropped below.  Including a never-served regime in the min would
+        # inflate nprobe (the paths only guarantee ~0.9 mutual top-k overlap
+        # at equal nprobe).
+        fns: dict[str, Any] = (
+            {"pallas": probe_fn(True, None)} if use_pallas
+            else {"window": probe_fn(False, 32)}
+        )
         oracle_idx = self._exact_topk(xq, k, meta["metric"]) if oracle == "exact" else None
 
         result = autotune.calibrate_nprobe(
@@ -594,33 +596,30 @@ class TpuVS(VS):
             k=k, ladder=ladder, oracle_indices=oracle_idx,
             oracle_regime="pallas" if use_pallas else "window",
         )
-        if result.get("target_unreachable") and len(fns) > 1:
-            # Regime-aware recovery: when one serving path's structural
-            # ceiling is below the target but another's is not (e.g. the
-            # Pallas fold's candidate caps on few-huge-list corpora, while
-            # the window probe scans whole lists), DROP the failing regime
-            # and recalibrate on the survivors instead of serving a path
-            # that cannot meet the contract.  __call__ then routes around
-            # the dropped regime (large batches fall back to the exhaustive
-            # scan, which reads everything and has no such ceiling).
-            ceilings = result.get("ceilings", {})
-            survivors = {name: fn for name, fn in fns.items()
-                         if ceilings.get(name, 0.0) >= target}
-            if survivors and len(survivors) < len(fns):
-                dropped = sorted(set(fns) - set(survivors))
+        if result.get("target_unreachable") and use_pallas:
+            # Regime-aware recovery: the Pallas fold's structural ceiling
+            # (per-(query,list) candidate caps on degenerate corpora) is
+            # below the target while the window probe scans whole lists and
+            # has no such cap.  DROP the Pallas regime and recalibrate on
+            # the fallback serving paths — __call__ then routes small
+            # batches to the window probe and large batches to the
+            # exhaustive scan — but only when the fallback actually reaches
+            # the target (otherwise keep serving the higher-ceiling path).
+            fallback = {"window": probe_fn(False, 32)}
+            recal = autotune.calibrate_nprobe(
+                fallback, xq, nlist=int(meta["nlist"]), recall_target=target,
+                k=k, ladder=ladder, oracle_indices=oracle_idx,
+                oracle_regime="window",
+            )
+            if not recal.get("target_unreachable"):
                 lotus_tpu.logger.warning(
-                    "calibrate_nprobe: regime(s) %s cannot reach "
-                    "recall_target=%.4g (ceilings %s); dropping them from "
-                    "serving and recalibrating on %s.",
-                    dropped, target,
-                    {r: round(ceilings[r], 4) for r in dropped}, sorted(survivors),
+                    "calibrate_nprobe: the pallas regime cannot reach "
+                    "recall_target=%.4g (ceiling %.4f); dropping it from "
+                    "serving and recalibrating on the window probe.",
+                    target, result["ceiling"],
                 )
-                result = autotune.calibrate_nprobe(
-                    survivors, xq, nlist=int(meta["nlist"]), recall_target=target,
-                    k=k, ladder=ladder, oracle_indices=oracle_idx,
-                    oracle_regime="pallas" if "pallas" in survivors else "window",
-                )
-                result["regimes_dropped"] = dropped
+                recal["regimes_dropped"] = ["pallas"]
+                result = recal
         if result.get("target_unreachable"):
             lotus_tpu.logger.warning(
                 "calibrate_nprobe: recall_target=%.4g is UNREACHABLE on this "

@@ -174,10 +174,11 @@ def test_exact_oracle_calibration_on_quantized_store(tmp_path):
     assert measured >= res["recall"] - 0.05
 
 
-def test_calibrate_covers_both_probe_regimes(tmp_path):
-    """On a Pallas-eligible store calibration must price BOTH serving paths
-    (grouped probe for large batches, window probe for small ones): the
-    chosen nprobe has to meet the target on each."""
+def test_calibrate_measures_the_served_regime_only(tmp_path):
+    """On a Pallas-eligible store __call__ serves EVERY batch size through
+    the grouped Pallas probe (round-5 planner), so calibration must measure
+    exactly that path — min-ing in the never-served window probe would
+    inflate nprobe (the paths only guarantee ~0.9 mutual top-k overlap)."""
     rng = np.random.default_rng(2)
     centers = rng.standard_normal((4, 32)).astype(np.float32)
     emb = centers[rng.integers(0, 4, 4096)] + 0.1 * rng.standard_normal(
@@ -191,8 +192,18 @@ def test_calibrate_covers_both_probe_regimes(tmp_path):
     assert vs._pallas_eligible(vs._materialize()["meta"])
 
     res = vs.calibrate_nprobe(0.9, k=10, nq=32)
-    assert res["regimes"] == ["pallas", "window"]
+    assert res["regimes"] == ["pallas"]
     assert res["recall"] >= 0.9
+
+    # A non-eligible store calibrates on its own serving path: the window
+    # probe.
+    d2 = str(tmp_path / "noblk")
+    vs2 = TpuVS(index_type="ivf", nlist=64)  # avg list 64 rows: unaligned
+    vs2.index([], emb, d2)
+    assert not vs2._pallas_eligible(vs2._materialize()["meta"])
+    res2 = vs2.calibrate_nprobe(0.9, k=10, nq=32)
+    assert res2["regimes"] == ["window"]
+    assert res2["recall"] >= 0.9
 
 
 def test_lazy_autotune_warns_on_user_set_nprobe(clustered, caplog):
